@@ -1,0 +1,16 @@
+"""Test harness configuration.
+
+Tests run on a *virtual 8-device CPU mesh* — the standard JAX substitute for
+multi-chip TPU hardware (see SURVEY.md §4).  The env vars must be set before
+jax is imported anywhere, hence this conftest sets them at collection time.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,140 @@
+"""Configuration: one dataclass, CLI-compatible with the reference flags.
+
+The reference has three near-duplicate argparse definitions (opt.py, opt2.py,
+main_lite.py) round-tripped through ``opts.json`` (SURVEY.md §5).  Here they
+collapse into a single serializable dataclass whose field names keep the
+reference's public CLI contract (opt2.py:10-156): ``Use_MSE_loss``,
+``jump_start``, ``Solar_Type_2``, ``skip_Bundle_Adjust``, ``Use_Solar``, etc.
+A saved model directory remains self-describing via the same ``opts.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # --- identity / IO (opt2.py:129-142 directory-layout contract) --------
+    exp_name: str = "exp"
+    site_name: str = "OMA_281"
+    IO_Location: str = "./io"
+    cache_dir: str = ""
+    logs_dir: str = ""
+    root_dir: str = ""
+    rpc_dir: str = ""
+    testing_image_names: Optional[str] = None
+
+    # --- mode flags (public contract) --------------------------------------
+    Use_MSE_loss: bool = False
+    jump_start: bool = True            # DSM prior on in phase 1
+    Solar_Type_2: bool = False         # classic irradiance composite
+    skip_Bundle_Adjust: bool = False
+    Use_Solar: bool = True
+    Use_Reg: bool = False
+    use_auto_balance: bool = False
+    use_HSLuv: bool = False
+    weight_training_samples: bool = False
+
+    # --- training hypers (opt2.py:66-112 defaults) --------------------------
+    max_train_steps: int = 50_000
+    n_samples: int = 96
+    n_importance: int = 0
+    batch_size: int = 512
+    lr: float = 10 ** -4.86
+    lr_alpha_scale: float = 1000.0
+    fc_units: int = 512
+    fc_layers: int = 8
+    sc_lambda: float = 0.03
+    ds_lambda: float = 0.03
+    p_lambda: float = 0.03
+    number_low_frequency_cases: int = 4   # seasonal classes
+    chunk: int = 10_240
+    n_saves: int = 20
+    testing_size: int = 3
+    img_training_downscale: int = 1
+    img_validation_downscale: int = 1
+    camera_model: str = "Pinhole"
+    DSM_Mode: str = "Space_Carve"
+
+    # --- TPU-specific additions --------------------------------------------
+    seed: int = 0
+    mesh_shape: Optional[int] = None   # data-parallel devices; None = all
+    compute_dtype: str = "float32"     # or "bfloat16" for the trunk matmuls
+    prefetch_device: bool = True
+
+    def resolve_dirs(self, create=True):
+        """Derive the implied directory layout from IO_Location
+        (opt2.py:129-142) and optionally create it."""
+        io = self.IO_Location
+        if not self.cache_dir:
+            self.cache_dir = os.path.join(io, "Cache", self.site_name)
+        if not self.root_dir:
+            self.root_dir = os.path.join(io, "IEEE_Data")
+        if not self.rpc_dir:
+            self.rpc_dir = os.path.join(io, "Cache", self.site_name, "RPCs")
+        if not self.logs_dir:
+            self.logs_dir = os.path.join(io, "Logs", self.exp_name)
+        if create:
+            for d in (self.cache_dir, self.logs_dir):
+                os.makedirs(d, exist_ok=True)
+        return self
+
+    # --- opts.json round trip ----------------------------------------------
+    def save_json(self, path=None):
+        path = path or os.path.join(self.logs_dir, "opts.json")
+        with open(path, "w") as fout:
+            json.dump(dataclasses.asdict(self), fout, indent=2)
+        return path
+
+    @classmethod
+    def load_json(cls, path):
+        with open(path, "r") as fin:
+            d = json.load(fin)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def add_config_flags(parser: argparse.ArgumentParser, defaults: Config = None):
+    """Register every Config field as a CLI flag (booleans as store_true /
+    --no-X pairs), preserving the reference flag names."""
+    defaults = defaults or Config()
+    for f in dataclasses.fields(Config):
+        default = getattr(defaults, f.name)
+        flag = "--" + f.name
+        if f.type == "bool" or isinstance(default, bool):
+            group = parser.add_mutually_exclusive_group()
+            group.add_argument(flag, dest=f.name, action="store_true", default=default)
+            group.add_argument("--no-" + f.name, dest=f.name, action="store_false")
+        elif default is None:
+            parser.add_argument(flag, type=str, default=None)
+        else:
+            parser.add_argument(flag, type=type(default), default=default)
+    return parser
+
+
+def get_opts(argv=None, defaults: Config = None, **overrides) -> Config:
+    """argparse -> Config -> resolved dirs -> opts.json dump, the reference's
+    get_opts contract (opt2.py:10-156).  ``overrides`` force flags
+    programmatically like the reference's keyword-forcing (opt.py:11-13)."""
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser, defaults)
+    args = parser.parse_args(argv)
+    cfg = Config(**vars(args))
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    cfg.resolve_dirs()
+    cfg.save_json()
+    return cfg
+
+
+def lite_defaults() -> Config:
+    """The main_lite.py quick-train defaults (main_lite.py:67-78): 5000
+    steps, lr x3, 10 saves."""
+    return Config(exp_name="OMA_281_Lite", site_name="OMA_281",
+                  max_train_steps=5000, lr=3 * 10 ** -4.86, n_saves=10)

@@ -1,0 +1,78 @@
+"""SIREN layers (sinusoidal-activation dense layers) for flax.
+
+Same math as the reference's ``SineLayer`` (misc.py:148-194): a linear layer
+whose pre-activation is scaled by omega_0 = 30 and passed through sin, with
+SIREN initialization (uniform +-1/fan_in for the first layer, uniform
++-sqrt(6/fan_in)/omega_0 otherwise) and an optional BatchNorm applied to the
+scaled pre-activation (torch ``BatchNorm1d(momentum=0.01)`` semantics:
+``running = 0.99 * running + 0.01 * batch``; batch statistics during
+training, running statistics at eval).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def siren_kernel_init(is_first: bool, omega_0: float):
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0]
+        if is_first:
+            bound = 1.0 / fan_in
+        else:
+            bound = jnp.sqrt(6.0 / fan_in) / omega_0
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    return init
+
+
+def _torch_uniform_init(key, shape, dtype=jnp.float32):
+    # torch.nn.Linear default init: U(+-1/sqrt(fan_in)); fan_in = shape[0]
+    # for kernels.  For biases flax passes shape=(features,), so callers use
+    # torch_dense() which closes over fan_in.
+    bound = 1.0 / jnp.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_dense(features, in_features, name=None):
+    """nn.Dense with torch.nn.Linear default initialization (used for every
+    non-SIREN head layer in the reference)."""
+    bound = 1.0 / float(jnp.sqrt(in_features))
+
+    def bias_init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return nn.Dense(features, kernel_init=_torch_uniform_init,
+                    bias_init=bias_init, name=name)
+
+
+class SineLayer(nn.Module):
+    """sin(norm(omega_0 * (W x + b))) with SIREN init.
+
+    ``use_norm`` enables the batch-norm variant used in the reference trunk
+    (G_NeRF.py:42-50 passes use_norm=True for fc2..fc9).
+    """
+    features: int
+    is_first: bool = False
+    omega_0: float = 30.0
+    use_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_features = x.shape[-1]
+        bound = 1.0 / jnp.sqrt(in_features)
+        dense = nn.Dense(
+            self.features,
+            kernel_init=siren_kernel_init(self.is_first, self.omega_0),
+            bias_init=lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, minval=-bound, maxval=bound),
+            name="linear")
+        z = self.omega_0 * dense(x)
+        if self.use_norm:
+            z = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,          # torch momentum=0.01
+                epsilon=1e-5,
+                name="norm")(z)
+        return jnp.sin(z)

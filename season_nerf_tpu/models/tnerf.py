@@ -1,0 +1,223 @@
+"""The Season-NeRF network (T-NeRF), as a flax module.
+
+Functional redesign of the reference's ``T_NeRF_Full_2/T_NeRF_net_v2.py``
+(T_NeRF) + ``T_NeRF_Full_2/G_NeRF.py`` (G_NeRF_Net_Classic): one module, one
+parameter pytree, and the reference's seven ad-hoc forward modes expressed as
+method composition over shared submodules.  Architecture (all SIREN):
+
+  trunk:   PE(x; 10 freqs, extended -> 63) -> fc1..fc4 (512)
+           -> fc5([fc4, PE]) .. fc8 (512) -> fc9 (256) = x_enc
+  heads:   sigma = softplus(fc10_sigma(x_enc))     [G_NeRF.py:74-98]
+           col_raw = fc10_col(x_enc)
+  solar:   PE(sun; 4 freqs -> 27) ++ x_enc -> fc_solar_1..3 (256)
+           -> vis_raw (1)                          [G_NeRF.py:100-122]
+  sky:     PE(sun) -> fc_sky_1 (128) -> sky_raw (3)
+  time:    PE(t2; 2 freqs -> 10) -> time_1,2 (512) -> class logits (n_cls)
+  adjust:  x_enc -> adjust_1..3 (512) -> per-class albedo offsets (n_cls x 3)
+           final color = sigmoid(col_raw + sum_c p_c * adjust_c)
+                                                   [T_NeRF_net_v2.py:75-105]
+
+The unused reference heads (adjust_rho / adjust_solar_vis / adjust_sky_col,
+T_NeRF_net_v2.py:49-51) are kept so reference ``Final_Model.nn`` state dicts
+can be converted one-to-one.
+
+Points are processed as flat ``[N, 3]`` batches; the MLP is matmul-dominated
+(512-wide layers -> MXU-friendly), and everything composes under jit/vmap/
+shard_map.  ``train=True`` switches the trunk BatchNorms to batch statistics
+and requires ``mutable=['batch_stats']``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from season_nerf_tpu.models.encodings import positional_encode, encoded_size
+from season_nerf_tpu.models.siren import SineLayer, torch_dense
+
+
+class GNeRF(nn.Module):
+    """Position trunk + sigma/color/solar-visibility/sky heads."""
+    layer_width: int = 512
+    pe_pose: int = 10
+    pe_solar: int = 4
+    n_channels: int = 3
+    extended: bool = True
+    use_norm: bool = True
+
+    def setup(self):
+        lw = self.layer_width
+        lw2 = max(lw // 2, 1)
+        lw4 = max(lw // 4, 1)
+        self.fc1 = SineLayer(lw, is_first=True, name="fc1")
+        self.fc2 = SineLayer(lw, use_norm=self.use_norm, name="fc2")
+        self.fc3 = SineLayer(lw, use_norm=self.use_norm, name="fc3")
+        self.fc4 = SineLayer(lw, use_norm=self.use_norm, name="fc4")
+        self.fc5 = SineLayer(lw, use_norm=self.use_norm, name="fc5")
+        self.fc6 = SineLayer(lw, use_norm=self.use_norm, name="fc6")
+        self.fc7 = SineLayer(lw, use_norm=self.use_norm, name="fc7")
+        self.fc8 = SineLayer(lw, use_norm=self.use_norm, name="fc8")
+        self.fc9 = SineLayer(lw2, use_norm=self.use_norm, name="fc9")
+        in_pose = encoded_size(3, self.pe_pose, self.extended)
+        in_solar = encoded_size(3, self.pe_solar, self.extended)
+        self.fc10_col = torch_dense(self.n_channels, lw2, name="fc10_col")
+        self.fc10_sigma = torch_dense(1, lw2, name="fc10_sigma")
+        self.fc_solar_1 = SineLayer(lw2, is_first=True, name="fc_solar_1")
+        self.fc_solar_2 = SineLayer(lw2, name="fc_solar_2")
+        self.fc_solar_3 = SineLayer(lw2, name="fc_solar_3")
+        self.fc_solar_4 = torch_dense(1, lw2, name="fc_solar_4")
+        self.fc_sky_1 = SineLayer(lw4, is_first=True, name="fc_sky_1")
+        self.fc_sky_2 = torch_dense(3, lw4, name="fc_sky_2")
+
+    def encode_x(self, x, train=False):
+        pe = positional_encode(x, self.pe_pose, self.extended)
+        h = self.fc1(pe, train)
+        h = self.fc2(h, train)
+        h = self.fc3(h, train)
+        h = self.fc4(h, train)
+        h = self.fc5(jnp.concatenate([h, pe], -1), train)
+        h = self.fc6(h, train)
+        h = self.fc7(h, train)
+        h = self.fc8(h, train)
+        return self.fc9(h, train)
+
+    def position(self, x, train=False):
+        """-> (x_enc, rho_raw, col_raw)"""
+        x_enc = self.encode_x(x, train)
+        return x_enc, self.fc10_sigma(x_enc), self.fc10_col(x_enc)
+
+    def solar(self, x_enc, sun_dir, train=False):
+        """-> (vis_raw, sky_raw)"""
+        sun_pe = positional_encode(sun_dir, self.pe_solar, self.extended)
+        a = self.fc_solar_1(jnp.concatenate([x_enc, sun_pe], -1), train)
+        a = self.fc_solar_2(a, train)
+        a = self.fc_solar_3(a, train)
+        vis_raw = self.fc_solar_4(a)
+        sky_raw = self.fc_sky_2(self.fc_sky_1(sun_pe, train))
+        return vis_raw, sky_raw
+
+
+class TNeRF(nn.Module):
+    """Season-NeRF: GNeRF + seasonal class head + per-class albedo adjust."""
+    layer_width: int = 512
+    n_classes: int = 4
+    pe_pose: int = 10
+    pe_solar: int = 4
+    pe_time: int = 2
+    n_channels: int = 3
+    extended: bool = True
+    use_norm: bool = True
+
+    def setup(self):
+        lw = self.layer_width
+        lw2 = max(lw // 2, 1)
+        self.gnerf = GNeRF(layer_width=lw, pe_pose=self.pe_pose,
+                           pe_solar=self.pe_solar, n_channels=self.n_channels,
+                           extended=self.extended, use_norm=self.use_norm,
+                           name="gnerf")
+        self.time_1 = SineLayer(lw, is_first=True, name="time_1")
+        self.time_2 = SineLayer(lw, name="time_2")
+        self.class_head = torch_dense(self.n_classes, lw, name="class_head")
+        self.adjust_1 = SineLayer(lw, name="adjust_1")
+        self.adjust_2 = SineLayer(lw, name="adjust_2")
+        self.adjust_3 = SineLayer(lw, name="adjust_3")
+        self.adjust_col = torch_dense(self.n_classes * 3, lw, name="adjust_col")
+        # unused-by-forward heads kept for reference-checkpoint parity
+        self.adjust_rho = torch_dense(self.n_classes, lw, name="adjust_rho")
+        self.adjust_solar_vis = torch_dense(self.n_classes, lw, name="adjust_solar_vis")
+        self.adjust_sky_col = torch_dense(self.n_classes * 3, lw, name="adjust_sky_col")
+
+    # -- branch helpers -----------------------------------------------------
+    def class_probs(self, t4, train=False):
+        """Seasonal class softmax from the 4-dim periodic time encoding
+        (only the year-fraction pair is used, T_NeRF_net_v2.py:72-78)."""
+        t2 = t4[..., 0:2]
+        te = positional_encode(t2, self.pe_time, self.extended)
+        h = self.time_2(self.time_1(te, train), train)
+        return jax.nn.softmax(self.class_head(h), axis=-1)
+
+    def adjust_from_enc(self, x_enc, train=False):
+        """Per-class albedo adjust [N, n_classes, 3]."""
+        y = self.adjust_3(self.adjust_2(self.adjust_1(x_enc, train), train), train)
+        return self.adjust_col(y).reshape(x_enc.shape[0], self.n_classes, 3)
+
+    # -- forward modes ------------------------------------------------------
+    def __call__(self, x, sun_dir, t4, train=False):
+        """Full forward (T_NeRF_net_v2.py:75-105).
+
+        Returns dict with activated outputs:
+          rho [N,1], col [N,3] (season-adjusted, sigmoided), vis [N,1],
+          sky [N,3], class_probs [N,C], adjust [N,3] (class-mixed, raw).
+        """
+        x_enc, rho_raw, col_raw = self.gnerf.position(x, train)
+        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train)
+        probs = self.class_probs(t4, train)
+        adj = self.adjust_from_enc(x_enc, train)
+        adjust_mixed = jnp.sum(adj * probs[:, :, None], axis=1)
+        return {
+            "rho": jax.nn.softplus(rho_raw),
+            "col": jax.nn.sigmoid(col_raw + adjust_mixed),
+            "vis": jax.nn.sigmoid(vis_raw),
+            "sky": jax.nn.sigmoid(sky_raw),
+            "class_probs": probs,
+            "adjust": adjust_mixed,
+        }
+
+    def forward_separate(self, x, sun_dir, t4, train=False):
+        """Forward without class mixing: raw color + per-class adjusts
+        (T_NeRF_net_v2.py:131-151) — used by the per-class eval renders."""
+        x_enc, rho_raw, col_raw = self.gnerf.position(x, train)
+        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train)
+        probs = self.class_probs(t4, train)
+        adj = self.adjust_from_enc(x_enc, train)
+        return {
+            "rho": jax.nn.softplus(rho_raw),
+            "col_raw": col_raw,
+            "vis": jax.nn.sigmoid(vis_raw),
+            "sky": jax.nn.sigmoid(sky_raw),
+            "class_probs": probs,
+            "adjust_per_class": adj,
+        }
+
+    def forward_solar(self, x, sun_dir, train=False):
+        """Solar-branch training mode: gradients are blocked from flowing
+        into the position trunk (the reference wraps the trunk in t.no_grad,
+        G_NeRF.py:135-145)."""
+        x_enc, rho_raw, _ = self.gnerf.position(x, train)
+        x_enc = jax.lax.stop_gradient(x_enc)
+        rho_raw = jax.lax.stop_gradient(rho_raw)
+        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train)
+        return {
+            "rho": jax.nn.softplus(rho_raw),
+            "vis": jax.nn.sigmoid(vis_raw),
+            "sky_raw": sky_raw,
+        }
+
+    def sigma_only(self, x, train=False):
+        """Density only (T_NeRF_net_v2.py:169-170) — exact-shadow secondary rays."""
+        x_enc = self.gnerf.encode_x(x, train)
+        return jax.nn.softplus(self.gnerf.fc10_sigma(x_enc))
+
+    def class_only(self, t4, train=False):
+        return self.class_probs(t4, train)
+
+
+def supervised_sigma(hm, world_pts, delta, eps=0.99):
+    """DSM-prior density: occupancy below the prior height map, converted to
+    the sigma that reproduces hit probability ``P`` over a step ``delta``
+    (T_NeRF_net_v2.py:175-181).
+
+    hm: [H, W] height map in [-1, 1] (NaN = no data -> treated as empty).
+    world_pts: [N, 3] cube coordinates; delta: [N, 1] step sizes.
+    """
+    shape = jnp.array(hm.shape) - 1
+    xy = ((world_pts[:, 0:2] + 1.0) / 2.0 * shape[None, :]).astype(jnp.int32)
+    xy = jnp.clip(xy, 0, shape[None, :])
+    hm_vals = hm[xy[:, 0], xy[:, 1]]
+    p_exist = (hm_vals >= world_pts[:, 2]).astype(jnp.float32)
+    p_exist = jnp.where(jnp.isnan(hm_vals), 0.0, p_exist)
+    p_exist = jnp.minimum(p_exist, eps)
+    return -jnp.log(1.0 - p_exist[:, None]) / delta

@@ -1,0 +1,117 @@
+"""Image quality metrics, jit-able: PSNR, SSIM (global + Gaussian window).
+
+Parity targets (see BASELINE.md): masked PSNR (Eval_funcs.py:32-34), masked
+Gaussian-window SSIM 13x13 (Eval_funcs.py:48-82), and the global-window SSIM
+variant used by space carving (mg_Img_metric.py:212-261).  The EM color
+distance lives in :mod:`season_nerf_tpu.ops.emd`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(img, ref, mask=None, max_val=1.0):
+    """Masked PSNR.  img/ref: [..., C]; mask: broadcastable boolean."""
+    err = (img - ref) ** 2
+    if mask is not None:
+        m = mask.astype(img.dtype)
+        while m.ndim < err.ndim:
+            m = m[..., None]
+        mse = jnp.sum(err * m) / jnp.maximum(jnp.sum(m * jnp.ones_like(err)), 1.0)
+    else:
+        mse = jnp.mean(err)
+    return 10.0 * jnp.log10(max_val ** 2 / jnp.maximum(mse, 1e-12))
+
+
+def ssim_global(img, ref, max_val=1.0, k1=0.01, k2=0.03):
+    """Global-window SSIM over the whole image (mg_Img_metric.py:212-261's
+    mg_ssim_v0): one mean/variance/covariance per image, no sliding window.
+    Accepts [..., H, W] or [..., H, W, C]; reduces over all but leading axes.
+    """
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    axes = tuple(range(img.ndim))
+    mu_x = jnp.mean(img, axis=axes)
+    mu_y = jnp.mean(ref, axis=axes)
+    var_x = jnp.var(img, axis=axes)
+    var_y = jnp.var(ref, axis=axes)
+    cov = jnp.mean((img - mu_x) * (ref - mu_y), axis=axes)
+    return ((2 * mu_x * mu_y + c1) * (2 * cov + c2)
+            / ((mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2)))
+
+
+def _gaussian_kernel(size=13, sigma=2.6):
+    x = np.arange(size) - (size - 1) / 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    k = np.outer(g, g)
+    return jnp.asarray(k / k.sum(), dtype=jnp.float32)
+
+
+def _filter2d(img, kernel):
+    """Depthwise 2-D convolution, 'valid' padding.  img: [H, W] or [H, W, C]."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    x = jnp.transpose(img, (2, 0, 1))[:, None]          # [C, 1, H, W]
+    k = kernel[None, None]                               # [1, 1, kh, kw]
+    y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
+    y = jnp.transpose(y[:, 0], (1, 2, 0))
+    return y[..., 0] if squeeze else y
+
+
+def ssim(img, ref, mask=None, max_val=1.0, win_size=13, sigma=2.6,
+         k1=0.01, k2=0.03):
+    """Masked Gaussian-window SSIM (Eval_funcs.py:48-82 equivalent).
+
+    img/ref: [H, W] or [H, W, C] in [0, max_val].  The SSIM map is computed
+    with a 13x13 Gaussian window; ``mask`` (per-pixel, [H, W]) restricts the
+    average to windows whose center pixel is valid.
+    Returns the mean SSIM (scalar).
+    """
+    img = img.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    kern = _gaussian_kernel(win_size, sigma)
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    mu_x = _filter2d(img, kern)
+    mu_y = _filter2d(ref, kern)
+    mu_xx = _filter2d(img * img, kern)
+    mu_yy = _filter2d(ref * ref, kern)
+    mu_xy = _filter2d(img * ref, kern)
+    var_x = mu_xx - mu_x ** 2
+    var_y = mu_yy - mu_y ** 2
+    cov = mu_xy - mu_x * mu_y
+    ssim_map = ((2 * mu_x * mu_y + c1) * (2 * cov + c2)
+                / ((mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2)))
+    if mask is not None:
+        pad = (win_size - 1) // 2
+        m = mask[pad:-pad, pad:-pad].astype(jnp.float32)
+        while m.ndim < ssim_map.ndim:
+            m = m[..., None]
+        return jnp.sum(ssim_map * m) / jnp.maximum(
+            jnp.sum(m * jnp.ones_like(ssim_map)), 1.0)
+    return jnp.mean(ssim_map)
+
+
+def pairwise_ssim_global(patches, max_val=1.0, k1=0.01, k2=0.03):
+    """All-pairs global-window SSIM across a stack of patches [N, H, W(, C)].
+
+    Vectorized core of the space-carving photo-consistency score
+    (mg_SC_multi.py:155-200 + mg_Img_metric.py:241): returns the [N, N]
+    SSIM matrix in one shot (einsum-style moments, MXU-friendly).
+    """
+    n = patches.shape[0]
+    flat = patches.reshape(n, -1).astype(jnp.float32)
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    mu = jnp.mean(flat, axis=1)
+    var = jnp.var(flat, axis=1)
+    centered = flat - mu[:, None]
+    cov = centered @ centered.T / flat.shape[1]
+    mu_i, mu_j = mu[:, None], mu[None, :]
+    var_i, var_j = var[:, None], var[None, :]
+    return ((2 * mu_i * mu_j + c1) * (2 * cov + c2)
+            / ((mu_i ** 2 + mu_j ** 2 + c1) * (var_i + var_j + c2)))

@@ -1,0 +1,184 @@
+"""Volume rendering: transmittance, compositing, and the full ray evaluator.
+
+TPU-first redesign of ``T_NeRF_Full_2/Eval_Tools_2.py`` (get_PV:13-16,
+All_in_One_Eval.eval:165-252, eval_Rho_Only:297-337): pure functions over
+``[rays, samples]`` arrays, one network invocation over the flattened point
+batch (matmul-dominated -> MXU), cumulative transmittance via an exclusive
+cumsum that XLA fuses with the surrounding elementwise ops.
+
+Two illumination composites exist, selected by ``classic_solar``
+(= the reference's ``Solar_Type_2`` flag):
+  classic: C = sum_s PS * col * (vis + (1 - vis) * sky)          [.., :212]
+  gated:   g = sigmoid((sum_s stopgrad(vis) * PS - 0.2) * 30)
+           C = (sum_s PS * col) * (g + (1 - g) * mean_s sky)     [.., :214-215]
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from season_nerf_tpu.ops.sampling import sample_coarse
+from season_nerf_tpu.models.tnerf import supervised_sigma
+
+
+def transmittance(rho, deltas):
+    """P_visible before each sample: exp(-cumsum_exclusive(rho * delta)).
+
+    rho/deltas: [R, S, 1].  Matches get_PV (Eval_Tools_2.py:13-16).
+    """
+    tau = rho * deltas
+    acc = jnp.cumsum(tau, axis=1)
+    acc = jnp.concatenate([jnp.zeros_like(acc[:, :1]), acc[:, :-1]], axis=1)
+    return jnp.exp(-acc)
+
+
+def pv_pe_ps(rho, deltas):
+    """-> (PV, PE, PS): visibility, per-sample hit prob, surface prob."""
+    pv = transmittance(rho, deltas)
+    pe = 1.0 - jnp.exp(-rho * deltas)
+    return pv, pe, pv * pe
+
+
+def composite_classic(ps, col, vis, sky):
+    """S-NeRF irradiance composite (Eval_Tools_2.py:212)."""
+    return jnp.sum(ps * col * (vis + (1.0 - vis) * sky), axis=1)
+
+
+def gated_visibility(ps, vis):
+    """Scalar per-ray sun gate from detached per-sample visibility
+    (Eval_Tools_2.py:214)."""
+    g = jnp.sum(jax.lax.stop_gradient(vis) * ps, axis=1)
+    return jax.nn.sigmoid((g - 0.2) * 30.0)
+
+
+def composite_gated(ps, col, vis, sky):
+    """Season-NeRF gated composite (Eval_Tools_2.py:214-215)."""
+    albedo = jnp.sum(ps * col, axis=1)
+    g = gated_visibility(ps, vis)
+    return albedo * (g + (1.0 - g) * jnp.mean(sky, axis=1))
+
+
+def expected_surface(ps, pts, deltas):
+    """Expected surface point and distance along the ray
+    (mg_run_NeRF.py:188-189)."""
+    denom = jnp.sum(ps, axis=1) + 1e-8
+    loc = jnp.sum(ps * pts, axis=1) / denom
+    dist = jnp.sum(ps * jnp.cumsum(deltas, axis=1), axis=1) / denom
+    return loc, dist
+
+
+def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
+              n_samples, train=False, classic_solar=False,
+              prior_hm=None, model_trust=1.0, mutable=False):
+    """Render a batch of rays: the All_in_One_Eval.eval equivalent.
+
+    model/variables: TNeRF flax module + its variables.
+    tops/bots: [R, 3]; sun: [R, 3]; t4: [R, 4] periodic time encodings.
+    prior_hm: optional [H, W] DSM-prior height map; when given, the outputs
+    include the supervised / trust-merged branches used in phase 1
+    (Eval_Tools_2.py:218-248).
+
+    Returns (results dict, updated_variable_dict_or_None).
+    """
+    R = tops.shape[0]
+    S = n_samples
+    pts, deltas = sample_coarse(rng, tops, bots, S, train=train)
+    flat = pts.reshape(-1, 3)
+    sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
+    t4_flat = jnp.broadcast_to(t4[:, None, :], (R, S, 4)).reshape(-1, 4)
+
+    if mutable:
+        out, updates = model.apply(variables, flat, sun_flat, t4_flat,
+                                   train=train, mutable=["batch_stats"])
+    else:
+        out = model.apply(variables, flat, sun_flat, t4_flat, train=train)
+        updates = None
+
+    rho = out["rho"].reshape(R, S, 1)
+    col = out["col"].reshape(R, S, -1)
+    vis = out["vis"].reshape(R, S, 1)
+    sky = out["sky"].reshape(R, S, -1)
+    probs = out["class_probs"].reshape(R, S, -1)
+    adjust = out["adjust"].reshape(R, S, -1)
+
+    pv, pe, ps = pv_pe_ps(rho, deltas)
+    albedo = jnp.sum(ps * col, axis=1)
+    if classic_solar:
+        rendered = composite_classic(ps, col, vis, sky)
+        gate = None
+    else:
+        gate = gated_visibility(ps, vis)
+        rendered = albedo * (gate + (1.0 - gate) * jnp.mean(sky, axis=1))
+
+    results = {
+        "rendered": rendered, "albedo": albedo,
+        "pv": pv, "pe": pe, "ps": ps,
+        "rho": rho, "col": col, "vis": vis, "sky": sky,
+        "class_probs": probs, "adjust": adjust,
+        "pts": pts, "deltas": deltas,
+    }
+
+    if prior_hm is not None:
+        rho_sup = supervised_sigma(prior_hm, flat, deltas.reshape(-1, 1))
+        rho_sup = rho_sup.reshape(R, S, 1)
+        pv_s, pe_s, ps_s = pv_pe_ps(rho_sup, deltas)
+        rho_m = rho * model_trust + rho_sup * (1.0 - model_trust)
+        pv_m, pe_m, ps_m = pv_pe_ps(rho_m, deltas)
+        albedo_m = jnp.sum(ps_m * col, axis=1)
+        if classic_solar:
+            rendered_sup = composite_classic(ps_s, col, vis, sky)
+            rendered_m = composite_classic(ps_m, col, vis, sky)
+        else:
+            rendered_sup = jnp.sum(ps_s * col, axis=1) * (
+                gate + (1.0 - gate) * jnp.mean(sky, axis=1))
+            rendered_m = albedo_m * (gate + (1.0 - gate) * jnp.mean(sky, axis=1))
+        results.update({
+            "rho_sup": rho_sup, "pv_sup": pv_s, "pe_sup": pe_s, "ps_sup": ps_s,
+            "rendered_sup": rendered_sup,
+            "rho_merged": rho_m, "pv_merged": pv_m, "pe_merged": pe_m,
+            "ps_merged": ps_m, "rendered_merged": rendered_m,
+            # with a prior the albedo used downstream is the merged one
+            "albedo": albedo_m,
+        })
+    return results, updates
+
+
+def eval_rho_only(model, variables, rng, tops, bots, sun, t4, *,
+                  n_samples, train=False, prior_hm=None, model_trust=1.0,
+                  mutable=False):
+    """Density+solar-visibility along rays (the solar-correction pass,
+    Eval_Tools_2.py:297-337).  Gradients are blocked from the trunk by the
+    module's forward_solar.  Returns (results, updates)."""
+    R, S = tops.shape[0], n_samples
+    pts, deltas = sample_coarse(rng, tops, bots, S, train=train, include_end=True)
+    flat = pts.reshape(-1, 3)
+    sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
+
+    if mutable:
+        out, updates = model.apply(variables, flat, sun_flat, train=train,
+                                   method="forward_solar", mutable=["batch_stats"])
+    else:
+        out = model.apply(variables, flat, sun_flat, train=train,
+                          method="forward_solar")
+        updates = None
+
+    rho = out["rho"].reshape(R, S, 1)
+    vis = out["vis"].reshape(R, S, 1)
+
+    if prior_hm is not None:
+        # clamp supervision to in-cube samples (Eval_Tools_2.py:319-326)
+        good = jnp.all((flat <= 1.0) & (flat >= -1.0), axis=1)
+        rho_sup = supervised_sigma(prior_hm, flat, deltas.reshape(-1, 1))
+        rho_sup = jnp.where(good[:, None], rho_sup,
+                            jax.lax.stop_gradient(out["rho"]))
+        rho_sup = rho_sup.reshape(R, S, 1)
+        rho_eff = rho * model_trust + rho_sup * (1.0 - model_trust)
+    else:
+        rho_eff = rho
+    pv, pe, _ = pv_pe_ps(rho_eff, deltas)
+    return {"pe": pe, "pv_exact": pv, "vis": vis,
+            "sky_raw": out["sky_raw"].reshape(R, S, -1),
+            "pts": pts, "deltas": deltas}, updates

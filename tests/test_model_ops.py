@@ -1,0 +1,326 @@
+"""Model + rendering-op tests: golden values vs numpy oracles (the same
+strategy the reference uses with its `_cheat` metric oracles, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from season_nerf_tpu.models import encodings, siren, tnerf
+from season_nerf_tpu.ops import sampling, rendering, robust_loss, metrics
+
+
+# --- encodings -------------------------------------------------------------
+
+def test_positional_encode_golden():
+    x = jnp.array([[0.5, -0.25]])
+    out = encodings.positional_encode(x, 2, extended=True)
+    k0, k1 = np.pi / 2, np.pi
+    expect = [0.5, -0.25,
+              np.cos(k0 * 0.5), np.cos(k1 * 0.5), np.sin(k0 * 0.5), np.sin(k1 * 0.5),
+              np.cos(k0 * -0.25), np.cos(k1 * -0.25), np.sin(k0 * -0.25), np.sin(k1 * -0.25)]
+    assert out.shape == (1, 10)
+    np.testing.assert_allclose(np.asarray(out[0]), expect, atol=1e-6)
+
+
+def test_encoded_sizes():
+    assert encodings.encoded_size(3, 10, True) == 63   # pose PE
+    assert encodings.encoded_size(3, 4, True) == 27    # solar PE
+    assert encodings.encoded_size(2, 2, True) == 10    # time PE
+
+
+# --- SIREN -----------------------------------------------------------------
+
+def test_sine_layer_init_bounds():
+    layer = siren.SineLayer(64, is_first=True)
+    params = layer.init(jax.random.PRNGKey(0), jnp.zeros((4, 16)))
+    w = params["params"]["linear"]["kernel"]
+    assert np.max(np.abs(w)) <= 1 / 16 + 1e-8
+    layer2 = siren.SineLayer(64, is_first=False)
+    params2 = layer2.init(jax.random.PRNGKey(0), jnp.zeros((4, 16)))
+    w2 = params2["params"]["linear"]["kernel"]
+    assert np.max(np.abs(w2)) <= np.sqrt(6 / 16) / 30 + 1e-8
+
+
+def test_sine_layer_norm_updates_stats():
+    layer = siren.SineLayer(8, use_norm=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 4))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    y, updates = layer.apply(variables, x, True, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(updates["batch_stats"]["norm"]["mean"]), 0.0)
+    # eval mode uses running stats, no mutation needed
+    y_eval = layer.apply(variables, x, False)
+    assert y_eval.shape == (32, 8)
+
+
+# --- TNeRF -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small_tnerf():
+    model = tnerf.TNeRF(layer_width=64, n_classes=4)
+    x = jnp.zeros((8, 3))
+    sun = jnp.zeros((8, 3))
+    t4 = jnp.zeros((8, 4))
+    variables = model.init(jax.random.PRNGKey(0), x, sun, t4)
+    return model, variables
+
+
+def test_tnerf_forward_shapes_and_ranges(small_tnerf):
+    model, variables = small_tnerf
+    n = 16
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.uniform(rng, (n, 3), minval=-1, maxval=1)
+    sun = jnp.tile(jnp.array([[0.1, 0.1, 0.99]]), (n, 1))
+    t4 = jnp.tile(jnp.array([[1.0, 0, 1, 0]]), (n, 1))
+    out = model.apply(variables, x, sun, t4)
+    assert out["rho"].shape == (n, 1) and np.all(np.asarray(out["rho"]) >= 0)
+    assert out["col"].shape == (n, 3)
+    assert np.all((np.asarray(out["col"]) > 0) & (np.asarray(out["col"]) < 1))
+    assert out["vis"].shape == (n, 1)
+    assert out["sky"].shape == (n, 3)
+    np.testing.assert_allclose(np.sum(np.asarray(out["class_probs"]), -1), 1.0, atol=1e-5)
+
+
+def test_tnerf_class_head_depends_only_on_year_pair(small_tnerf):
+    model, variables = small_tnerf
+    t4a = jnp.array([[0.3, 0.9, 0.1, 0.2]])
+    t4b = jnp.array([[0.3, 0.9, -0.7, 0.5]])  # day-fraction pair differs
+    pa = model.apply(variables, t4a, method="class_only")
+    pb = model.apply(variables, t4b, method="class_only")
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-7)
+
+
+def test_tnerf_forward_solar_blocks_trunk_grads(small_tnerf):
+    model, variables = small_tnerf
+    x = jax.random.uniform(jax.random.PRNGKey(3), (8, 3), minval=-1, maxval=1)
+    sun = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (8, 1))
+
+    def loss_fn(params):
+        out = model.apply({**variables, "params": params}, x, sun,
+                          method="forward_solar")
+        return jnp.sum(out["vis"] ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    trunk_grad = grads["gnerf"]["fc1"]["linear"]["kernel"]
+    solar_grad = grads["gnerf"]["fc_solar_4"]["kernel"]
+    assert np.allclose(np.asarray(trunk_grad), 0.0)
+    assert not np.allclose(np.asarray(solar_grad), 0.0)
+
+
+def test_supervised_sigma_plane():
+    hm = jnp.zeros((16, 16))  # flat surface at z = 0
+    pts = jnp.array([[0.0, 0.0, -0.5],   # below surface -> occupied
+                     [0.0, 0.0, 0.5]])   # above -> empty
+    delta = jnp.full((2, 1), 0.1)
+    sig = tnerf.supervised_sigma(hm, pts, delta)
+    assert sig[0, 0] > 10.0   # -log(1-0.99)/0.1 ~ 46
+    assert sig[1, 0] == 0.0
+
+
+def test_supervised_sigma_nan_is_empty():
+    hm = jnp.full((8, 8), jnp.nan)
+    pts = jnp.array([[0.0, 0.0, -0.5]])
+    sig = tnerf.supervised_sigma(hm, pts, jnp.full((1, 1), 0.1))
+    assert sig[0, 0] == 0.0
+
+
+# --- sampling --------------------------------------------------------------
+
+def test_sample_coarse_eval_deterministic():
+    tops = jnp.array([[0.0, 0, 1], [0.5, 0.5, 1]])
+    bots = jnp.array([[0.0, 0, -1], [0.5, 0.5, -1]])
+    pts, deltas = sampling.sample_coarse(jax.random.PRNGKey(0), tops, bots, 4,
+                                         train=False)
+    assert pts.shape == (2, 4, 3)
+    np.testing.assert_allclose(np.asarray(pts[0, :, 2]), [1.0, 0.5, 0.0, -0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(deltas), 0.5, atol=1e-6)
+
+
+def test_sample_coarse_include_end():
+    tops = jnp.array([[0.0, 0, 1.0]])
+    bots = jnp.array([[0.0, 0, -1.0]])
+    pts, _ = sampling.sample_coarse(jax.random.PRNGKey(0), tops, bots, 5,
+                                    train=False, include_end=True)
+    np.testing.assert_allclose(np.asarray(pts[0, :, 2]), [1, 0.5, 0, -0.5, -1], atol=1e-6)
+
+
+def test_sample_coarse_train_jitter_in_bins():
+    tops = jnp.tile(jnp.array([[0.0, 0, 1.0]]), (64, 1))
+    bots = jnp.tile(jnp.array([[0.0, 0, -1.0]]), (64, 1))
+    pts, _ = sampling.sample_coarse(jax.random.PRNGKey(7), tops, bots, 8, train=True)
+    z = np.asarray(pts[..., 2])
+    # z strictly decreasing along rays, within [-1, 1]
+    assert np.all(np.diff(z, axis=1) < 0)
+    assert z.min() >= -1 - 1e-6 and z.max() <= 1 + 1e-6
+    # jitter differs across rays (per-ray stratification)
+    assert np.std(z[:, 0]) > 0
+
+
+def test_sample_fine_sorted_and_shaped():
+    tops = jnp.tile(jnp.array([[0.0, 0, 1.0]]), (4, 1))
+    bots = jnp.tile(jnp.array([[0.0, 0, -1.0]]), (4, 1))
+    base, _ = sampling.sample_coarse(jax.random.PRNGKey(0), tops, bots, 8, train=False)
+    w = jnp.ones((4, 8))
+    pts, deltas = sampling.sample_fine(jax.random.PRNGKey(1), tops, bots, base, w, 8)
+    assert pts.shape == (4, 16, 3) and deltas.shape == (4, 16, 1)
+    z = np.asarray(pts[..., 2])
+    assert np.all(np.diff(z, axis=1) <= 1e-6)
+
+
+# --- volume rendering ------------------------------------------------------
+
+def test_transmittance_golden_numpy_oracle():
+    rng = np.random.default_rng(0)
+    rho = rng.random((3, 5, 1)).astype(np.float32) * 2
+    deltas = np.full((3, 5, 1), 0.25, dtype=np.float32)
+    pv = np.asarray(rendering.transmittance(jnp.asarray(rho), jnp.asarray(deltas)))
+    # oracle: PV_i = exp(-sum_{j<i} rho_j * delta_j)
+    expect = np.ones_like(rho)
+    for r in range(3):
+        acc = 0.0
+        for s in range(5):
+            expect[r, s, 0] = np.exp(-acc)
+            acc += rho[r, s, 0] * deltas[r, s, 0]
+    np.testing.assert_allclose(pv, expect, rtol=1e-5)
+
+
+def test_ps_sums_below_one():
+    rho = jnp.ones((2, 96, 1)) * 3.0
+    deltas = jnp.full((2, 96, 1), 2.0 / 96)
+    _, _, ps = rendering.pv_pe_ps(rho, deltas)
+    total = np.sum(np.asarray(ps), axis=1)
+    assert np.all(total <= 1.0 + 1e-5)
+    assert np.all(total > 0.9)  # optically thick -> most mass hits
+
+
+def test_composites_agree_for_full_visibility():
+    R, S = 4, 16
+    key = jax.random.PRNGKey(0)
+    ps = jax.nn.softmax(jax.random.normal(key, (R, S, 1)), axis=1)
+    col = jax.random.uniform(key, (R, S, 3))
+    vis = jnp.ones((R, S, 1))
+    sky = jnp.full((R, S, 3), 0.3)
+    classic = rendering.composite_classic(ps, col, vis, sky)
+    np.testing.assert_allclose(np.asarray(classic),
+                               np.asarray(jnp.sum(ps * col, 1)), atol=1e-6)
+    gated = rendering.composite_gated(ps, col, vis, sky)
+    # gate saturates to 1 when all vis=1 and sum(ps)=1 -> equals albedo
+    np.testing.assert_allclose(np.asarray(gated),
+                               np.asarray(jnp.sum(ps * col, 1)), atol=1e-3)
+
+
+def test_eval_rays_end_to_end_shapes():
+    model = tnerf.TNeRF(layer_width=32, n_classes=4)
+    R, S = 6, 12
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)))
+    tops = jnp.concatenate([jax.random.uniform(jax.random.PRNGKey(1), (R, 2), minval=-1, maxval=1),
+                            jnp.ones((R, 1))], -1)
+    bots = tops.at[:, 2].set(-1.0)
+    sun = jnp.tile(jnp.array([[0.0, 0, 1.0]]), (R, 1))
+    t4 = jnp.tile(jnp.array([[1.0, 0, 1, 0]]), (R, 1))
+    res, _ = rendering.eval_rays(model, variables, jax.random.PRNGKey(2),
+                                 tops, bots, sun, t4, n_samples=S, train=False)
+    assert res["rendered"].shape == (R, 3)
+    assert res["ps"].shape == (R, S, 1)
+    # with a prior height map
+    hm = jnp.zeros((8, 8))
+    res2, _ = rendering.eval_rays(model, variables, jax.random.PRNGKey(2),
+                                  tops, bots, sun, t4, n_samples=S, train=False,
+                                  prior_hm=hm, model_trust=0.0)
+    assert "rendered_merged" in res2 and res2["rendered_merged"].shape == (R, 3)
+    # trust=0 -> merged rho is purely supervised
+    np.testing.assert_allclose(np.asarray(res2["rho_merged"]),
+                               np.asarray(res2["rho_sup"]), atol=1e-6)
+
+
+# --- robust loss -----------------------------------------------------------
+
+def test_general_loss_special_cases():
+    x = jnp.linspace(-3, 3, 31)
+    l2 = robust_loss.general_loss(x, 2.0, 1.0)
+    # atol covers the float32 underflow at the near-zero linspace midpoint
+    np.testing.assert_allclose(np.asarray(l2), 0.5 * np.asarray(x) ** 2,
+                               rtol=1e-4, atol=1e-12)
+    cauchy = robust_loss.general_loss(x, 1e-6, 1.0)
+    np.testing.assert_allclose(np.asarray(cauchy),
+                               np.log1p(0.5 * np.asarray(x) ** 2), rtol=1e-3)
+
+
+def test_log_partition_gaussian_and_huber():
+    # alpha=2: Z = sqrt(2*pi)
+    lz2 = float(robust_loss.log_partition(jnp.array(2.0)))
+    assert abs(lz2 - 0.5 * np.log(2 * np.pi)) < 2e-3
+    # alpha=1: Z = 2*e*K_1(1) (modified Bessel)
+    from scipy.special import kv
+    lz1 = float(robust_loss.log_partition(jnp.array(1.0)))
+    expect = np.log(2 * np.e * kv(1, 1.0))
+    assert abs(lz1 - expect) < 2e-3
+
+
+def test_adaptive_latents_and_carryover():
+    cfg = robust_loss.AdaptiveCfg(n_channels=3, alpha_init=2.0, scale_init=0.03)
+    params = robust_loss.init_adaptive(cfg)
+    np.testing.assert_allclose(np.asarray(robust_loss.alpha_of(params, cfg)), 2.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(robust_loss.scale_of(params, cfg)), 0.03, atol=1e-6)
+    # nll decreases in scale-adaptivity direction: gradient flows
+    x = jnp.full((16, 3), 0.5)
+    g = jax.grad(lambda p: jnp.mean(robust_loss.adaptive_nll(p, cfg, x)))(params)
+    assert np.any(np.asarray(g["latent_alpha"]) != 0)
+    assert np.any(np.asarray(g["latent_scale"]) != 0)
+    # carry-over preserves values
+    params["latent_alpha"] = params["latent_alpha"] - 1.3
+    params["latent_scale"] = params["latent_scale"] + 0.7
+    new_params, new_cfg = robust_loss.carry_over(params, cfg, cfg)
+    np.testing.assert_allclose(
+        float(jnp.mean(robust_loss.alpha_of(new_params, new_cfg))),
+        float(jnp.mean(robust_loss.alpha_of(params, cfg))), atol=1e-4)
+    np.testing.assert_allclose(
+        float(jnp.mean(robust_loss.scale_of(new_params, new_cfg))),
+        float(jnp.mean(robust_loss.scale_of(params, cfg))), atol=1e-5)
+
+
+def test_adaptive_nll_matches_gaussian_at_alpha2():
+    cfg = robust_loss.AdaptiveCfg(n_channels=1, alpha_init=2.0, scale_init=1.0,
+                                  alpha_lo=1.999, alpha_hi=2.001, scale_lo=0.5)
+    params = robust_loss.init_adaptive(cfg)
+    x = jnp.array([[0.7]])
+    val = float(robust_loss.adaptive_nll(params, cfg, x)[0, 0])
+    expect = 0.5 * 0.7 ** 2 + 0.5 * np.log(2 * np.pi)
+    assert abs(val - expect) < 5e-3
+
+
+# --- metrics ---------------------------------------------------------------
+
+def test_psnr_identity_and_noise():
+    img = jnp.ones((16, 16, 3)) * 0.5
+    assert float(metrics.psnr(img, img)) > 100
+    noisy = img + 0.1
+    assert abs(float(metrics.psnr(noisy, img)) - 20.0) < 0.1
+
+
+def test_psnr_masked():
+    img = jnp.zeros((8, 8, 3))
+    ref = img.at[0, 0].set(1.0)
+    mask = jnp.ones((8, 8), bool).at[0, 0].set(False)
+    assert float(metrics.psnr(img, ref, mask)) > 100
+
+
+def test_ssim_identity():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+    assert abs(float(metrics.ssim(img, img)) - 1.0) < 1e-5
+    assert abs(float(metrics.ssim_global(img, img)) - 1.0) < 1e-5
+
+
+def test_ssim_degrades_with_noise():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32))
+    noisy = jnp.clip(img + jax.random.normal(jax.random.PRNGKey(1), (32, 32)) * 0.2, 0, 1)
+    assert float(metrics.ssim(img, noisy)) < 0.9
+
+
+def test_pairwise_ssim_global():
+    patches = jax.random.uniform(jax.random.PRNGKey(0), (5, 9, 9))
+    m = np.asarray(metrics.pairwise_ssim_global(patches))
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
+    np.testing.assert_allclose(m, m.T, atol=1e-5)

@@ -50,7 +50,10 @@ def general_loss(x, alpha, scale, eps=1e-6):
     sq = (x / scale) ** 2
     b = jnp.abs(alpha - 2.0) + eps
     d = alpha + eps
-    return (b / d) * (jnp.power(sq / b + 1.0, 0.5 * d) - 1.0)
+    # expm1/log1p form of (b/d) * ((sq/b + 1)^(d/2) - 1): float32-stable for
+    # small alpha (tiny exponents) where the naive power catastrophically
+    # cancels, and exact in the alpha->0 Cauchy limit (b/2)*log1p(sq/b).
+    return (b / d) * jnp.expm1(0.5 * d * jnp.log1p(sq / b))
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 
@@ -38,7 +39,8 @@ def _torch_uniform_init(key, shape, dtype=jnp.float32):
 def torch_dense(features, in_features, name=None):
     """nn.Dense with torch.nn.Linear default initialization (used for every
     non-SIREN head layer in the reference)."""
-    bound = 1.0 / float(jnp.sqrt(in_features))
+    # static math must stay host-side (np): module setup may run under jit
+    bound = 1.0 / float(np.sqrt(in_features))
 
     def bias_init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
@@ -61,7 +63,7 @@ class SineLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_features = x.shape[-1]
-        bound = 1.0 / jnp.sqrt(in_features)
+        bound = 1.0 / float(np.sqrt(in_features))
         dense = nn.Dense(
             self.features,
             kernel_init=siren_kernel_init(self.is_first, self.omega_0),

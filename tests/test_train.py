@@ -1,0 +1,150 @@
+"""Training-engine tests: phase machinery, loss structure, end-to-end steps
+on a tiny synthetic scene (the integration strategy from SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from season_nerf_tpu.config import Config
+from season_nerf_tpu.data.synthetic import make_scene, scene_ray_tables
+from season_nerf_tpu.train import phases as phase_lib
+from season_nerf_tpu.train import state as state_lib
+from season_nerf_tpu.train.engine import Trainer
+from season_nerf_tpu.train.losses import make_solar_rays
+
+
+# --- phases ----------------------------------------------------------------
+
+def test_phase_fractions():
+    ps = phase_lib.build_phases(50_000, jump_start=True)
+    assert [p.index for p in ps] == [1, 4]
+    assert ps[0].start == 0 and ps[0].end == 10_000
+    assert ps[1].start == 10_000 and ps[1].end == 50_000
+    assert ps[0].use_prior and not ps[1].use_prior
+
+
+def test_phase_no_jump_start():
+    ps = phase_lib.build_phases(1000, jump_start=False)
+    assert not any(p.use_prior for p in ps)
+
+
+def test_output_locations_monotone_min_gap():
+    locs = phase_lib.output_locations(50_000, 10, min_gap=1000)
+    assert locs[-1] == 50_000
+    assert np.all(np.diff(locs) > 0)
+
+
+def test_save_points_cover_end():
+    ps = phase_lib.build_phases(10_000, True)
+    pts = phase_lib.save_points(ps, 8, 10_000)
+    assert pts[-1] == 10_000
+    assert all(0 < p <= 10_000 for p in pts)
+
+
+# --- solar rays ------------------------------------------------------------
+
+def test_make_solar_rays_geometry():
+    rng = jax.random.PRNGKey(0)
+    tops, bots, sun, t4 = make_solar_rays(rng, 64)
+    tops, bots, sun, t4 = map(np.asarray, (tops, bots, sun, t4))
+    assert np.allclose(tops[:, 2], 1.0)
+    assert np.allclose(bots[:, 2], -1.0, atol=1e-5)
+    # ray direction == sun direction
+    d = tops - bots
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    assert np.allclose(d, sun, atol=1e-5)
+    assert np.allclose(np.linalg.norm(sun, axis=1), 1.0, atol=1e-5)
+    # periodic time encodings on the unit circle
+    assert np.allclose(t4[:, 0] ** 2 + t4[:, 1] ** 2, 1.0, atol=1e-5)
+
+
+# --- end-to-end tiny training ---------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    scene = make_scene(n_views=4, img_size=24, grid=32, seed=3)
+    train_tab, val_tab = scene_ray_tables(scene, testing_size=1)
+    logs = str(tmp_path_factory.mktemp("logs"))
+    return scene, train_tab, val_tab, logs
+
+
+def _tiny_cfg(logs, **kw):
+    base = dict(max_train_steps=10, n_samples=8, batch_size=64,
+                fc_units=32, chunk=512, n_saves=2, logs_dir=logs,
+                number_low_frequency_cases=4)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_train_adaptive_with_prior(tiny_setup):
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(logs)
+    tr = Trainer(cfg, train_tab, val_tab, prior_hm=scene.prior_hm,
+                 gt_dsm=scene.hm)
+    tr.run()   # crosses the phase-1 -> phase-4 boundary at step 2
+    tr.finalize()
+    assert tr.step == 10
+    assert tr._phase.index == 4
+    # Barron alpha/scale were carried over the boundary
+    assert 0.001 < tr._carry_alpha < 2.99
+    assert tr._carry_scale > 0.01
+    assert os.path.exists(os.path.join(logs, "Final_Model.nn"))
+    # all live loss values finite
+    leaves = jax.tree_util.tree_leaves(tr.state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_train_mse_path(tiny_setup):
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(logs, Use_MSE_loss=True, jump_start=False,
+                    max_train_steps=4)
+    tr = Trainer(cfg, train_tab, val_tab)
+    tr.run()
+    assert tr.step == 4
+    leaves = jax.tree_util.tree_leaves(tr.state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(str(tmp_path), max_train_steps=4, jump_start=False)
+    tr = Trainer(cfg, train_tab, val_tab)
+    tr.run(n_steps=2)
+    path = str(tmp_path / "ckpt.nn")
+    state_lib.save_checkpoint(path, tr.state, extra={"step": tr.step})
+    restored, extra = state_lib.load_checkpoint(path, tr.state)
+    assert extra["step"] == 2
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_final_artifact_restores(tiny_setup, tmp_path):
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(str(tmp_path), max_train_steps=2, jump_start=False)
+    tr = Trainer(cfg, train_tab, val_tab)
+    tr.run()
+    tr.finalize()
+    path = os.path.join(str(tmp_path), "Final_Model.nn")
+    variables, meta = state_lib.restore_variables(
+        tr.variables_template, path)
+    assert meta["fc_units"] == cfg.fc_units
+    out = tr.model.apply(
+        {"params": variables["params"],
+         **({"batch_stats": variables["batch_stats"]}
+            if "batch_stats" in variables else {})},
+        jnp.zeros((4, 3)), jnp.zeros((4, 3)), jnp.ones((4, 4)), train=False)
+    assert np.isfinite(np.asarray(out["rho"])).all()
+
+
+def test_validation_render(tiny_setup):
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(logs, max_train_steps=2, jump_start=False)
+    tr = Trainer(cfg, train_tab, val_tab, gt_dsm=scene.hm)
+    tr.run()
+    report = tr.validation_report()
+    assert "Mean_PSNR" in report and np.isfinite(report["Mean_PSNR"])
+    assert "Mean_Height_Error" in report

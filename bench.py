@@ -1,0 +1,74 @@
+"""Benchmark: training-step throughput of the flagship Season-NeRF config.
+
+Measures rays/sec through the full jit-compiled training step (512-wide
+8-layer SIREN trunk, 96 samples/ray, color + solar rays — the reference's
+training budget, opt2.py:66-92) on whatever accelerator jax selects (the
+driver runs this on one real TPU chip).
+
+Baseline: the PyTorch reference trains the same budget at roughly 10
+optimizer steps/sec on its pinned single-GPU stack (50k steps in ~1.5h,
+README "several hours" scale), i.e. ~5,120 camera rays/sec. ``vs_baseline``
+is our measured rays/sec over that nominal 5,120.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_RAYS_PER_SEC = 5120.0   # nominal reference throughput (see docstring)
+
+
+def main():
+    import jax
+    import numpy as np
+    from season_nerf_tpu.config import Config
+    from season_nerf_tpu.data.synthetic import make_scene, scene_ray_tables
+    from season_nerf_tpu.train.engine import Trainer
+    from season_nerf_tpu.train import phases as phase_lib
+
+    # flagship training config (reference defaults, opt2.py:66-92) with a
+    # TPU-friendly batch: 8192 rays/step instead of 512 (free MXU win).
+    # 4096 rays/step: largest batch the current TPU toolchain compiles for
+    # the fully-fused train step (8k+ trips a register-allocator RET_CHECK
+    # in the backward pass); revisit with a scanned/remat step.
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    steps = int(os.environ.get("BENCH_STEPS", 30))
+    cfg = Config(max_train_steps=50_000, n_samples=96, batch_size=batch,
+                 fc_units=512, n_saves=0, logs_dir="", jump_start=True)
+
+    scene = make_scene(n_views=6, img_size=48, grid=64, seed=0)
+    train_tab, val_tab = scene_ray_tables(scene, testing_size=1)
+    tr = Trainer(cfg, train_tab, val_tab, prior_hm=scene.prior_hm,
+                 gt_dsm=scene.hm)
+
+    phase = phase_lib.phase_at(tr.phases, 0)
+    tr._enter_phase(phase)
+
+    # warmup / compile
+    tr.rng, k = jax.random.split(tr.rng)
+    tr.state, _ = tr._step_fn(tr.state, k)
+    jax.block_until_ready(tr.state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tr.rng, k = jax.random.split(tr.rng)
+        tr.state, _ = tr._step_fn(tr.state, k)
+    jax.block_until_ready(tr.state.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = batch * steps / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,13 @@ class Trainer:
             self.variables_template.get("batch_stats", {})))
         phase_start = phase.start
 
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch_sh = NamedSharding(mesh, P("data"))
+        else:
+            batch_sh = None
+
         def loss_fn(params, ada_params, batch_stats, batch, rng, step):
             variables = {"params": params}
             if has_stats:
@@ -183,6 +190,12 @@ class Trainer:
             k_batch, k_loss = jax.random.split(rng)
             idx = jax.random.randint(k_batch, (batch_size,), 0, n_rows)
             batch = decode_batch(jnp.take(rows, idx, axis=0))
+            if batch_sh is not None:
+                # shard the ray batch over the mesh's data axis; params stay
+                # replicated, XLA inserts the gradient all-reduce (GSPMD)
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, batch_sh),
+                    batch)
             (total, (losses, updates)), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, state.ada_params, state.batch_stats,

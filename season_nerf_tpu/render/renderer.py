@@ -1,0 +1,334 @@
+"""Novel-view rendering: the inference stack.
+
+TPU-first redesign of the reference's three render paths:
+- ``Quick_Run.render_img`` / ``get_DSM`` (Quick_Run.py:173-226): whole-image
+  render at arbitrary view/sun angle + time, nadir expected-height DSM;
+- ``mg_Img_Eval._internal_render`` + ``component_render_by_P/dir``
+  (mg_Img_Eval.py:17-115): per-sample raw component capture (rho, base
+  color, per-class adjusts, solar vis, optional exact secondary-ray solar
+  transmittance);
+- ``get_imgs_from_Img_Dict`` (mg_Img_Eval.py:123-190): compositing the raw
+  components into Base / Season-Adjusted / per-class Extreme images, shadow
+  masks and shadow-adjust maps.
+
+Everything renders through fixed-shape jitted chunk kernels (padded final
+chunk), so each chunk is one XLA program: sampling, MLP, transmittance
+cumsum, and composite fuse into a single device launch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from season_nerf_tpu.models.tnerf import TNeRF
+from season_nerf_tpu.ops import rendering
+from season_nerf_tpu.ops.sampling import sample_coarse, out_of_cube
+
+
+def encode_time(year_frac, day_frac=0.0):
+    """4-dim periodic time encoding (Quick_Run.py:9-12)."""
+    return np.array([np.cos(year_frac * 2 * np.pi), np.sin(year_frac * 2 * np.pi),
+                     np.cos(day_frac * 2 * np.pi), np.sin(day_frac * 2 * np.pi)],
+                    dtype=np.float32)
+
+
+def dir_grid_rays(view_vec, out_size):
+    """Rays for an orthographic view along ``view_vec`` over the cube
+    footprint: grid on the z=0 plane, extended to z=+-1
+    (component_render_by_dir, mg_Img_Eval.py:99-104)."""
+    h, w = out_size[0], out_size[1]
+    xs = np.linspace(1, -1, h)
+    ys = np.linspace(-1, 1, w)
+    XY = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    XYZ = np.concatenate([XY, np.zeros((XY.shape[0], 1))], 1)
+    v = np.asarray(view_vec, np.float64)
+    tops = XYZ + (v / v[2])[None, :]
+    bots = XYZ - (v / v[2])[None, :]
+    img_pts = np.stack(np.meshgrid(np.arange(h), np.arange(w),
+                                   indexing="ij"), -1).reshape(-1, 2)
+    return (tops.astype(np.float32), bots.astype(np.float32), img_pts)
+
+
+def camera_grid_rays(cam, out_size):
+    """Rays through a fitted camera on an out_size grid of its image plane
+    (component_render_by_P, mg_Img_Eval.py:76-90)."""
+    h_img, w_img = cam.img_shape[0], cam.img_shape[1]
+    rr = np.round(np.linspace(0, h_img - 1, out_size[0])).astype(int)
+    cc = np.round(np.linspace(0, w_img - 1, out_size[1])).astype(int)
+    RC = np.stack(np.meshgrid(rr, cc, indexing="ij"), -1).reshape(-1, 2)
+    x1, y1, _ = cam.backproject(RC[:, 0], RC[:, 1], 1.0)
+    x0, y0, _ = cam.backproject(RC[:, 0], RC[:, 1], -1.0)
+    tops = np.stack([x1, y1, np.ones_like(x1)], -1).astype(np.float32)
+    bots = np.stack([x0, y0, -np.ones_like(x0)], -1).astype(np.float32)
+    good = np.all((tops[:, :2] >= -1) & (tops[:, :2] <= 1)
+                  & (bots[:, :2] >= -1) & (bots[:, :2] <= 1), axis=1)
+    img_pts = np.stack(np.meshgrid(np.arange(out_size[0]),
+                                   np.arange(out_size[1]),
+                                   indexing="ij"), -1).reshape(-1, 2)
+    return tops[good], bots[good], img_pts[good], RC[good]
+
+
+class Renderer:
+    """Whole-image renderer over a trained T-NeRF."""
+
+    def __init__(self, model: TNeRF, variables, n_samples=96, chunk=10_240,
+                 classic_solar=False, sun_frame: Optional[np.ndarray] = None):
+        self.model = model
+        self.variables = variables
+        self.n_samples = n_samples
+        self.chunk = max(chunk // n_samples, 1) * 16  # rays per chunk
+        self.classic_solar = classic_solar
+        self.sun_frame = sun_frame
+
+    # -- jitted chunk kernels ---------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def _full_chunk(self, variables, tops, bots, sun, t4):
+        out, _ = rendering.eval_rays(
+            self.model, variables, jax.random.PRNGKey(0), tops, bots, sun,
+            t4, n_samples=self.n_samples, train=False,
+            classic_solar=self.classic_solar)
+        shadow = jnp.sum(out["ps"] * out["vis"], axis=1)[:, 0]
+        surf, _ = rendering.expected_surface(out["ps"], out["pts"],
+                                             out["deltas"])
+        return {"rendered": out["rendered"], "shadow_raw": shadow,
+                "height": surf[:, 2], "ps_sum": jnp.sum(out["ps"], (1, 2))}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _component_chunk(self, variables, tops, bots, sun, t4):
+        """forward_seperate capture: per-sample raw components with deltas
+        zeroed outside the cube (mg_Img_Eval.py:38-55)."""
+        S = self.n_samples
+        pts, deltas = sample_coarse(None, tops, bots, S, train=False,
+                                    include_end=True)
+        deltas = jnp.where(out_of_cube(pts)[..., None], 0.0, deltas)
+        R = tops.shape[0]
+        flat = pts.reshape(-1, 3)
+        sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
+        t4_flat = jnp.broadcast_to(t4[:, None, :], (R, S, 4)).reshape(-1, 4)
+        out = self.model.apply(variables, flat, sun_flat, t4_flat,
+                               train=False, method="forward_separate")
+        C = self.model.n_classes
+        return {
+            "pts": pts, "deltas": deltas,
+            "rho": out["rho"].reshape(R, S, 1),
+            "col_raw": out["col_raw"].reshape(R, S, 3),
+            "vis": out["vis"].reshape(R, S, 1),
+            "sky": out["sky"].reshape(R, S, 3),
+            "class_probs": out["class_probs"].reshape(R, S, C),
+            "adjust_per_class": out["adjust_per_class"].reshape(R, S, C, 3),
+        }
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _exact_solar_chunk(self, variables, pts, sun_vec):
+        """Exact secondary-ray solar transmittance at every sample point
+        (mg_Img_Eval.py:57-70): cast a sun ray from each point to z=+1,
+        integrate sigma along it.  pts: [N, 3] flat sample points."""
+        S = self.n_samples
+        k = (1.0 - pts[:, 2]) / sun_vec[2]
+        tops = pts + k[:, None] * sun_vec[None, :]
+        spts, sdeltas = sample_coarse(None, tops, pts, S, train=False,
+                                      include_end=True)
+        sdeltas = jnp.where(out_of_cube(spts)[..., None], 0.0, sdeltas)
+        rho = self.model.apply(variables, spts.reshape(-1, 3), train=False,
+                               method="sigma_only").reshape(-1, S, 1)
+        # transmittance to the endpoint, excluding the final segment
+        tau = jnp.sum((rho * sdeltas)[:, :-1], axis=1)
+        return jnp.exp(-tau)[:, 0]
+
+    # -- chunked drivers ---------------------------------------------------
+    def _run_chunks(self, kernel, tops, bots, sun, t4, extra_keys):
+        n = tops.shape[0]
+        c = self.chunk
+        outs = {k: [] for k in extra_keys}
+        for s in range(0, n, c):
+            tt, bb = tops[s:s + c], bots[s:s + c]
+            ss, t44 = sun[s:s + c], t4[s:s + c]
+            pad = c - tt.shape[0]
+            if pad:
+                tt = np.concatenate([tt, np.repeat(tt[-1:], pad, 0)], 0)
+                bb = np.concatenate([bb, np.repeat(bb[-1:], pad, 0)], 0)
+                ss = np.concatenate([ss, np.repeat(ss[-1:], pad, 0)], 0)
+                t44 = np.concatenate([t44, np.repeat(t44[-1:], pad, 0)], 0)
+            res = jax.device_get(kernel(self.variables, jnp.asarray(tt),
+                                        jnp.asarray(bb), jnp.asarray(ss),
+                                        jnp.asarray(t44)))
+            for k in extra_keys:
+                v = res[k]
+                outs[k].append(v[:v.shape[0] - pad] if pad else v)
+        return {k: np.concatenate(v, 0) for k, v in outs.items()}
+
+    def render_rays(self, tops, bots, sun_vec, t4_row):
+        """Full composite render of arbitrary rays -> dict of flat arrays."""
+        n = tops.shape[0]
+        sun = np.broadcast_to(np.asarray(sun_vec, np.float32), (n, 3))
+        t4 = np.broadcast_to(np.asarray(t4_row, np.float32), (n, 4))
+        return self._run_chunks(self._full_chunk, tops.astype(np.float32),
+                                bots.astype(np.float32), sun, t4,
+                                ["rendered", "shadow_raw", "height", "ps_sum"])
+
+    # -- public API --------------------------------------------------------
+    def render_img(self, view_el_az, sun_el_az, time_frac, out_size,
+                   angles_to_vec=None):
+        """Quick_Run.render_img equivalent.  Returns dict with Col_Img,
+        Shadow_Mask (gated), Height, and mask."""
+        to_vec = angles_to_vec or _default_angles_to_vec(self.sun_frame)
+        view_vec = to_vec(*view_el_az)
+        sun_vec = to_vec(*sun_el_az)
+        tops, bots, img_pts = dir_grid_rays(view_vec, (out_size, out_size))
+        res = self.render_rays(tops, bots, sun_vec,
+                               encode_time(time_frac))
+        col = np.zeros((out_size, out_size, 3), np.float32)
+        shadow = np.zeros((out_size, out_size), np.float32)
+        height = np.full((out_size, out_size), np.nan, np.float32)
+        mask = np.zeros((out_size, out_size), bool)
+        col[img_pts[:, 0], img_pts[:, 1]] = res["rendered"]
+        shadow[img_pts[:, 0], img_pts[:, 1]] = res["shadow_raw"]
+        height[img_pts[:, 0], img_pts[:, 1]] = res["height"]
+        mask[img_pts[:, 0], img_pts[:, 1]] = True
+        return {"Col_Img": col, "Shadow_Mask": shadow, "Height": height,
+                "Mask": mask}
+
+    def get_dsm(self, out_size):
+        """Nadir expected-height map in [-1, 1] (Quick_Run.get_DSM:207-226).
+        NaN where no rays were evaluated."""
+        out = self.render_img((90.0, 0.0), (90.0, 0.0), 0.0, out_size)
+        h = out["Height"].copy()
+        # low-density rays (nothing hit) are unreliable -> NaN like the ref
+        return h
+
+    def component_render(self, tops, bots, sun_vec, year_frac,
+                         exact_solar=False):
+        """_internal_render equivalent: per-sample raw components."""
+        n = tops.shape[0]
+        sun = np.broadcast_to(np.asarray(sun_vec, np.float32), (n, 3)).copy()
+        t4 = np.broadcast_to(encode_time(year_frac), (n, 4)).copy()
+        keys = ["pts", "deltas", "rho", "col_raw", "vis", "sky",
+                "class_probs", "adjust_per_class"]
+        res = self._run_chunks(self._component_chunk,
+                               tops.astype(np.float32),
+                               bots.astype(np.float32),
+                               sun.astype(np.float32), t4.astype(np.float32),
+                               keys)
+        if exact_solar:
+            S = self.n_samples
+            pts_flat = res["pts"].reshape(-1, 3)
+            sv = jnp.asarray(sun_vec, jnp.float32)
+            chunks = []
+            c = max(self.chunk * 16 // S, 1)
+            for s in range(0, pts_flat.shape[0], c):
+                part = pts_flat[s:s + c]
+                pad = c - part.shape[0]
+                if pad:
+                    part = np.concatenate(
+                        [part, np.repeat(part[-1:], pad, 0)], 0)
+                v = jax.device_get(self._exact_solar_chunk(
+                    self.variables, jnp.asarray(part), sv))
+                chunks.append(v[:v.shape[0] - pad] if pad else v)
+            res["exact_solar"] = np.concatenate(chunks, 0).reshape(
+                n, S, 1)
+        return res
+
+    def component_render_by_dir(self, view_el_az, sun_el_az, time_frac,
+                                out_size, angles_to_vec=None,
+                                exact_solar=False):
+        to_vec = angles_to_vec or _default_angles_to_vec(self.sun_frame)
+        view_vec = to_vec(*view_el_az)
+        sun_vec = to_vec(*sun_el_az)
+        tops, bots, img_pts = dir_grid_rays(view_vec, out_size)
+        res = self.component_render(tops, bots, sun_vec, time_frac,
+                                    exact_solar)
+        res["img_pts"] = img_pts
+        res["sun_vec"] = np.asarray(sun_vec)
+        return res
+
+    def component_render_by_camera(self, cam, out_size, exact_solar=False):
+        tops, bots, img_pts, gt_pts = camera_grid_rays(cam, out_size)
+        res = self.component_render(tops, bots, cam.sun_vec,
+                                    cam.time_frac, exact_solar)
+        res["img_pts"] = img_pts
+        res["gt_img_pts"] = gt_pts
+        res["sun_vec"] = np.asarray(cam.sun_vec)
+        return res
+
+
+def _default_angles_to_vec(sun_frame):
+    from season_nerf_tpu.geometry.units import elevation_azimuth_to_vec
+
+    def to_vec(el, az):
+        v = elevation_azimuth_to_vec(el, az)
+        if sun_frame is not None:
+            v = sun_frame @ v
+            v = v / np.linalg.norm(v)
+        return v
+    return to_vec
+
+
+def _sig(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def images_from_components(res: Dict[str, np.ndarray], out_size,
+                           classic_shadows: bool = False):
+    """get_imgs_from_Img_Dict equivalent (mg_Img_Eval.py:123-190): composite
+    raw per-sample components into display images.
+
+    Returns Base_Img, Season_Adj_Img, Extreme_Imgs (per class), Shadow_Mask
+    (+ exact variants when exact solar was rendered), Shadow_Adjust maps,
+    Sky_Col, Time_Class.  Unrendered pixels are NaN.
+    """
+    rho, deltas = res["rho"], res["deltas"]
+    ij = res["img_pts"]
+    H, W = out_size[0], out_size[1]
+    tau = np.cumsum(rho * deltas, axis=1)
+    pv = np.exp(-np.concatenate([np.zeros_like(tau[:, :1]), tau[:, :-1]], 1))
+    ps = pv * (1 - np.exp(-rho * deltas))
+
+    sky = res["sky"][0, 0]      # forward_separate emits activated sky color
+    probs = res["class_probs"]
+    mix = np.einsum("rsc,rscd->rsd", probs, res["adjust_per_class"])
+
+    def scatter(vals, ch=3):
+        img = np.full((H, W, ch) if ch > 1 else (H, W), np.nan, np.float32)
+        img[ij[:, 0], ij[:, 1]] = vals
+        return img
+
+    base_cols = np.sum(ps * _sig(res["col_raw"]), 1)
+    season_cols = np.sum(ps * _sig(res["col_raw"] + mix), 1)
+    extreme = []
+    for c in range(res["adjust_per_class"].shape[2]):
+        cols = np.sum(ps * _sig(res["col_raw"]
+                                + res["adjust_per_class"][:, :, c]), 1)
+        extreme.append(scatter(cols))
+
+    def shadow_maps(vis_key):
+        eff = np.sum(ps * res[vis_key], 1)[:, 0]
+        raw = scatter(eff, ch=1)
+        gated = _sig((raw - 0.2) * 30.0)
+        adjust = gated[..., None] + (1 - gated[..., None]) * sky[None, None]
+        if classic_shadows:
+            term = res[vis_key] + (1 - res[vis_key]) * res["sky"]
+            col_adj = _sig(res["col_raw"] + mix) * term
+            quasi = np.sum(ps * col_adj, 1) / (season_cols + 1e-8)
+            adjust = scatter(quasi)
+        return raw, gated, adjust
+
+    raw_sm, sm, adj = shadow_maps("vis")
+    out = {
+        "Base_Img": scatter(base_cols),
+        "Season_Adj_Img": scatter(season_cols),
+        "Extreme_Imgs": extreme,
+        "Shadow_Mask": sm, "Raw_Shadow_Mask": raw_sm, "Shadow_Adjust": adj,
+        "Sky_Col": sky,
+        "Time_Class": probs[0, 0],
+    }
+    if "exact_solar" in res:
+        raw_e, sm_e, adj_e = shadow_maps("exact_solar")
+        out.update({"Shadow_Mask_Exact": sm_e,
+                    "Raw_Shadow_Mask_Exact": raw_e,
+                    "Shadow_Adjust_Exact": adj_e})
+    return out

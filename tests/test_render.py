@@ -1,0 +1,108 @@
+"""Renderer tests: geometry of ray grids, component capture, compositing,
+exact-solar transmittance vs a numpy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from season_nerf_tpu.models.tnerf import TNeRF
+from season_nerf_tpu.render.renderer import (
+    Renderer, encode_time, dir_grid_rays, camera_grid_rays,
+    images_from_components)
+from season_nerf_tpu.data.synthetic import make_scene
+
+
+@pytest.fixture(scope="module")
+def small_renderer():
+    model = TNeRF(layer_width=32, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    return Renderer(model, variables, n_samples=8, chunk=4096)
+
+
+def test_encode_time_circle():
+    t4 = encode_time(0.25, 0.5)
+    np.testing.assert_allclose(t4, [0, 1, -1, 0], atol=1e-6)
+
+
+def test_dir_grid_rays_nadir():
+    v = np.array([0.0, 0.0, 1.0])
+    tops, bots, ij = dir_grid_rays(v, (8, 8))
+    assert tops.shape == (64, 3)
+    np.testing.assert_allclose(tops[:, 2], 1.0)
+    np.testing.assert_allclose(bots[:, 2], -1.0)
+    # nadir: x/y identical top and bottom
+    np.testing.assert_allclose(tops[:, :2], bots[:, :2], atol=1e-6)
+
+
+def test_dir_grid_rays_oblique_direction():
+    v = np.array([0.3, 0.1, 0.9])
+    v = v / np.linalg.norm(v)
+    tops, bots, ij = dir_grid_rays(v, (4, 4))
+    d = tops - bots
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    np.testing.assert_allclose(d, np.broadcast_to(v, d.shape), atol=1e-6)
+
+
+def test_camera_grid_rays():
+    scene = make_scene(n_views=1, img_size=16, grid=24, seed=0)
+    cam = scene.cameras[0]
+    tops, bots, ij, gt_ij = camera_grid_rays(cam, (8, 8))
+    assert tops.shape[0] == ij.shape[0] == gt_ij.shape[0]
+    assert tops.shape[0] > 0
+    # rays reproject onto the sampled pixels
+    r, c = cam.project(tops[:, 0], tops[:, 1], tops[:, 2])
+    np.testing.assert_allclose(np.stack([r, c], -1), gt_ij, atol=0.5)
+
+
+def test_render_img_shapes(small_renderer):
+    out = small_renderer.render_img((90, 0), (45, 180), 0.5, 16)
+    assert out["Col_Img"].shape == (16, 16, 3)
+    assert out["Shadow_Mask"].shape == (16, 16)
+    assert out["Mask"].all()
+    assert np.isfinite(out["Col_Img"]).all()
+
+
+def test_component_render_and_composite(small_renderer):
+    res = small_renderer.component_render_by_dir(
+        (80, 10), (50, 200), 0.3, (8, 8), exact_solar=True)
+    assert res["rho"].shape == (64, 8, 1)
+    assert res["adjust_per_class"].shape == (64, 8, 4, 3)
+    assert res["exact_solar"].shape == (64, 8, 1)
+    assert ((res["exact_solar"] >= 0) & (res["exact_solar"] <= 1)).all()
+    imgs = images_from_components(res, (8, 8))
+    assert imgs["Base_Img"].shape == (8, 8, 3)
+    assert len(imgs["Extreme_Imgs"]) == 4
+    assert imgs["Shadow_Mask_Exact"].shape == (8, 8)
+    assert np.isfinite(imgs["Season_Adj_Img"]).all()
+    # probabilities
+    np.testing.assert_allclose(imgs["Time_Class"].sum(), 1.0, atol=1e-5)
+
+
+def test_exact_solar_oracle(small_renderer):
+    """Transmittance along a vertical sun ray matches a numpy integration
+    of sigma_only."""
+    r = small_renderer
+    sun = jnp.asarray([0.0, 0.0, 1.0])
+    pts = jnp.asarray([[0.1, 0.2, -0.5], [0.0, 0.0, 0.9]])
+    got = np.asarray(r._exact_solar_chunk(r.variables, pts, sun))
+    S = r.n_samples
+    for i, p in enumerate(np.asarray(pts)):
+        k = (1 - p[2])
+        top = p + k * np.array([0, 0, 1.0])
+        ts = np.linspace(0, 1, S)
+        spts = top[None] * (1 - ts[:, None]) + p[None] * ts[:, None]
+        delta = np.linalg.norm(top - p) / S
+        rho = np.asarray(r.model.apply(
+            r.variables, jnp.asarray(spts), train=False,
+            method="sigma_only"))[:, 0]
+        want = np.exp(-np.sum(rho[:-1] * delta))
+        np.testing.assert_allclose(got[i], want, rtol=1e-4)
+
+
+def test_get_dsm_range(small_renderer):
+    h = small_renderer.get_dsm(8)
+    ok = np.isfinite(h)
+    assert ok.any()
+    assert (h[ok] >= -1.01).all() and (h[ok] <= 1.01).all()

@@ -1,0 +1,163 @@
+"""Color-distribution Earth-Mover's distance.
+
+Equivalent capability to the reference's ``all_NeRF/mg_EM_Imgs.py``:
+histogram signatures (bin centroids + mass, nearby bins merged, tiny bins
+pruned keeping >=95% of the mass, get_Sig_advanced:34-101) compared by exact
+EMD under an L1 ground distance (EM_sig_Compare:158-163 uses cv.EMD with
+DIST_L1).
+
+Differences by design: the signature builder uses bincount accumulation and
+union-find connected-component merging (vectorized) instead of the
+reference's binned_statistic_dd + greedy set merging; the transport problem
+is solved exactly by scipy's HiGHS LP instead of OpenCV's C++ EMD (validated
+against cv.EMD in tests), with a JAX Sinkhorn solver for the batched
+season-stability matrices where hundreds of pairs are compared at once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Signatures
+# ---------------------------------------------------------------------------
+
+def color_signature(img: np.ndarray, bins_per_edge: int = 8,
+                    dist_thresh: Optional[float] = None,
+                    prune_thresh: float = 0.001,
+                    value_range: Tuple[float, float] = (0.0, 1.0)):
+    """[..., 3] image -> signature [K, 4] rows (cx, cy, cz, weight).
+
+    Uniform 3-D histogram, per-bin mean color as centroid, bins whose
+    centroids are within ``dist_thresh`` merged (union-find over the KD-tree
+    neighbor graph), bins below ``prune_thresh`` mass dropped, weights
+    renormalized to sum 1.
+    """
+    x = np.asarray(img, np.float64).reshape(-1, 3)
+    x = x[np.isfinite(x).all(axis=1)]
+    lo, hi = value_range
+    q = np.clip(((x - lo) / (hi - lo) * bins_per_edge).astype(int),
+                0, bins_per_edge - 1)
+    flat = (q[:, 0] * bins_per_edge + q[:, 1]) * bins_per_edge + q[:, 2]
+    n_bins = bins_per_edge ** 3
+    counts = np.bincount(flat, minlength=n_bins).astype(np.float64)
+    sums = np.stack([np.bincount(flat, weights=x[:, c], minlength=n_bins)
+                     for c in range(3)], 1)
+    good = counts > 0
+    cent = sums[good] / counts[good][:, None]
+    w = counts[good]
+
+    if dist_thresh is None:
+        dist_thresh = (hi - lo) / bins_per_edge
+    if cent.shape[0] > 1 and dist_thresh > 0:
+        from scipy.spatial import cKDTree
+        tree = cKDTree(cent)
+        pairs = tree.query_pairs(dist_thresh, output_type="ndarray")
+        parent = np.arange(cent.shape[0])
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.array([find(i) for i in range(cent.shape[0])])
+        uniq, inv = np.unique(roots, return_inverse=True)
+        w_m = np.bincount(inv, weights=w)
+        cent_m = np.stack([np.bincount(inv, weights=cent[:, c] * w)
+                           for c in range(3)], 1) / w_m[:, None]
+        cent, w = cent_m, w_m
+
+    w = w / w.sum()
+    keep = w >= prune_thresh
+    if w[keep].sum() < 0.95:
+        # keep enough mass: relax pruning to the largest bins covering 95%
+        order = np.argsort(-w)
+        cum = np.cumsum(w[order])
+        k = np.searchsorted(cum, 0.95) + 1
+        keep = np.zeros_like(keep)
+        keep[order[:k]] = True
+    cent, w = cent[keep], w[keep]
+    w = w / w.sum()
+    return np.concatenate([cent, w[:, None]], 1)
+
+
+# ---------------------------------------------------------------------------
+# Exact EMD (LP) and Sinkhorn
+# ---------------------------------------------------------------------------
+
+def _ground_distance(x1, x2, metric="l1"):
+    d = x1[:, None, :] - x2[None, :, :]
+    if metric == "l1":
+        return np.abs(d).sum(-1)
+    if metric == "l2":
+        return np.sqrt((d ** 2).sum(-1))
+    raise ValueError(metric)
+
+
+def emd_exact(sig1: np.ndarray, sig2: np.ndarray, metric: str = "l1") -> float:
+    """Exact EMD between two signatures [K, 4] (centroid xyz + weight):
+    the optimal-transport LP solved with HiGHS.  Matches cv.EMD(DIST_L1)."""
+    from scipy.optimize import linprog
+    w1 = sig1[:, 3] / sig1[:, 3].sum()
+    w2 = sig2[:, 3] / sig2[:, 3].sum()
+    C = _ground_distance(sig1[:, :3], sig2[:, :3], metric)
+    m, n = C.shape
+    # flow f >= 0, row sums = w1, col sums = w2
+    A_eq = np.zeros((m + n, m * n))
+    for i in range(m):
+        A_eq[i, i * n:(i + 1) * n] = 1
+    for j in range(n):
+        A_eq[m + j, j::n] = 1
+    b_eq = np.concatenate([w1, w2])
+    res = linprog(C.reshape(-1), A_eq=A_eq[:-1], b_eq=b_eq[:-1],
+                  bounds=(0, None), method="highs")
+    assert res.success, res.message
+    return float(res.fun)
+
+
+def emd_sinkhorn(w1, x1, w2, x2, metric="l1", reg=0.005, n_iters=500):
+    """Entropy-regularized OT in JAX (log-domain Sinkhorn) — fast batched
+    approximation used for the big pairwise stability matrices.  Converges
+    to the exact EMD as reg -> 0."""
+    import jax.numpy as jnp
+    import jax
+
+    w1 = jnp.asarray(w1) / jnp.sum(w1)
+    w2 = jnp.asarray(w2) / jnp.sum(w2)
+    d = x1[:, None, :] - x2[None, :, :]
+    C = (jnp.abs(d).sum(-1) if metric == "l1"
+         else jnp.sqrt((d ** 2).sum(-1) + 1e-12))
+    logK = -C / reg
+    log_w1 = jnp.log(w1 + 1e-30)
+    log_w2 = jnp.log(w2 + 1e-30)
+
+    def body(carry, _):
+        f, g = carry
+        f = log_w1 - jax.scipy.special.logsumexp(logK + g[None, :], axis=1)
+        g = log_w2 - jax.scipy.special.logsumexp(logK + f[:, None], axis=0)
+        return (f, g), None
+
+    (f, g), _ = jax.lax.scan(body, (jnp.zeros_like(log_w1),
+                                    jnp.zeros_like(log_w2)), None,
+                             length=n_iters)
+    P = jnp.exp(f[:, None] + logK + g[None, :])
+    return float(jnp.sum(P * C))
+
+
+def compare_em_imgs(img1, img2, bins_per_edge=8, metric="l1",
+                    exact=True, **sig_kw) -> float:
+    """EM distance between the color distributions of two images
+    (EM_img_Compare / compare_EM_imgs equivalents)."""
+    s1 = color_signature(img1, bins_per_edge, **sig_kw)
+    s2 = color_signature(img2, bins_per_edge, **sig_kw)
+    if exact:
+        return emd_exact(s1, s2, metric)
+    return emd_sinkhorn(s1[:, 3], s1[:, :3], s2[:, 3], s2[:, :3], metric)

@@ -194,7 +194,9 @@ def make_scene(n_views=8, img_size=64, grid=96, seed=0, prior_noise=0.05) -> Syn
         cams.append(cam)
     hm = make_heightmap(grid=grid, seed=seed)
     for cam in cams:
-        imgs.append(render_view(cam, hm))
+        img = render_view(cam, hm)
+        cam.image = img
+        imgs.append(img)
     prior = hm + rng.normal(0, prior_noise, hm.shape).astype(np.float32)
     return SyntheticScene(cameras=cams, images=imgs, hm=hm,
                           prior_hm=prior.astype(np.float32),

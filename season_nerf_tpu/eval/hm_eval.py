@@ -1,0 +1,178 @@
+"""Height-map (DSM) evaluation with alignment search.
+
+Redesign of the reference's ``Eval_funcs.eval_HM`` (Eval_funcs.py:298-464)
+and the regional ``mg_HM_Eval`` suite (simple_align/Full_Eval_HM,
+mg_HM_Eval.py:19-124): evaluate the network's density on a dense nadir grid,
+composite the expected surface height + a 67% confidence interval width,
+score MAE/RMSE/%<=1 m/median against the lidar GT, then repeat after a
+greedy grid-search alignment over +-1 px shifts x +-5 deg rotations.
+
+TPU redesign: the sigma grid is evaluated by a jitted chunk kernel over
+whole columns (the per-pixel Python CI loop becomes a vectorized cumsum
+search), the alignment search warps with scipy on host (tiny rasters).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# density -> expected height + confidence width
+# ---------------------------------------------------------------------------
+
+def density_surface(model, variables, grid_hw: Tuple[int, int],
+                    n_samples: int = 96, chunk_cols: int = 4096):
+    """Evaluate sigma on a dense [H, W, S] nadir grid.
+
+    Returns (est_hm in [-1,1], ci_width_frac): expected surface height per
+    column and the 67%-mass symmetric CI width as a fraction of the z range
+    (Eval_funcs.py:298-336).
+    """
+    H, W = grid_hw
+    S = n_samples
+    xs = np.linspace(-1, 1, H)
+    ys = np.linspace(-1, 1, W)
+    cols_xy = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    zs = np.linspace(1, -1, S)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def kernel(variables, xy, n_cols):
+        pts = jnp.concatenate([
+            jnp.repeat(xy, S, axis=0),
+            jnp.tile(jnp.asarray(zs, jnp.float32)[:, None], (n_cols, 1))], 1)
+        rho = model.apply(variables, pts, train=False,
+                          method="sigma_only").reshape(n_cols, S)
+        delta = 2.0 / S
+        tau = jnp.cumsum(rho * delta, axis=1)
+        pv = jnp.exp(-jnp.concatenate(
+            [jnp.zeros((n_cols, 1)), tau[:, :-1]], 1))
+        pe = 1 - jnp.exp(-rho * delta)
+        ps = pv * pe
+        denom = jnp.sum(ps, 1)
+        est = jnp.sum(ps * jnp.asarray(zs, jnp.float32)[None], 1) / (denom + 1e-12)
+        # 67% CI: symmetric expansion around the argmax of the surface pdf
+        pdf = ps / (denom[:, None] + 1e-12)
+        cdf = jnp.concatenate([jnp.zeros((n_cols, 1)),
+                               jnp.cumsum(pdf, axis=1)], 1)
+        amax = jnp.argmax(pdf, axis=1)
+
+        def mass(k):
+            z0 = jnp.maximum(amax - k, 0)
+            z1 = jnp.minimum(amax + 1 + k, S)
+            return (jnp.take_along_axis(cdf, z1[:, None], 1)
+                    - jnp.take_along_axis(cdf, z0[:, None], 1))[:, 0], z1 - z0
+
+        widths = jnp.full((n_cols,), S, jnp.int32)
+        done = jnp.zeros((n_cols,), bool)
+        for k in range(S):
+            m, w = mass(k)
+            hit = (m >= 0.67) & ~done
+            widths = jnp.where(hit, w, widths)
+            done = done | hit
+        return est, widths.astype(jnp.float32) / S
+
+    est = np.zeros(H * W, np.float32)
+    ci = np.zeros(H * W, np.float32)
+    for s in range(0, cols_xy.shape[0], chunk_cols):
+        blk = cols_xy[s:s + chunk_cols]
+        pad = chunk_cols - blk.shape[0]
+        if pad:
+            blk = np.concatenate([blk, np.repeat(blk[-1:], pad, 0)], 0)
+        e, c = jax.device_get(kernel(variables,
+                                     jnp.asarray(blk, jnp.float32),
+                                     chunk_cols))
+        est[s:s + chunk_cols - pad] = e[:e.shape[0] - pad] if pad else e
+        ci[s:s + chunk_cols - pad] = c[:c.shape[0] - pad] if pad else c
+    return est.reshape(H, W), ci.reshape(H, W)
+
+
+# ---------------------------------------------------------------------------
+# scores + alignment
+# ---------------------------------------------------------------------------
+
+def hm_scores(est_m: np.ndarray, gt_m: np.ndarray) -> Dict[str, float]:
+    """MAE / RMSE / fraction <= 1 m / median |err| over valid pixels
+    (Eval_funcs.py:385-396; mg_HM_Eval.apply_H_metrics:9-17)."""
+    diff = (est_m - gt_m).ravel()
+    diff = diff[np.isfinite(diff)]
+    return {"MAE": float(np.mean(np.abs(diff))),
+            "RMSE": float(np.sqrt(np.mean(diff ** 2))),
+            "Acc_1_m": float(np.mean(np.abs(diff) <= 1.0)),
+            "Median": float(np.median(np.abs(diff)))}
+
+
+def shift_and_rotate(img: np.ndarray, shift, rot_deg: float) -> np.ndarray:
+    """Integer-pixel shift + rotation about the center, NaN padded
+    (apply_shift_and_R, Eval_funcs.py:468-487)."""
+    from scipy import ndimage
+    out = img.copy()
+    for axis, s in enumerate(shift):
+        if s:
+            out = np.roll(out, s, axis=axis)
+            if axis == 0:
+                (out[:s] if s > 0 else out[s:])[:] = np.nan
+            else:
+                (out[:, :s] if s > 0 else out[:, s:])[:] = np.nan
+    if rot_deg:
+        nanmask = ~np.isfinite(out)
+        filled = np.where(nanmask, 0.0, out)
+        out = ndimage.rotate(filled, rot_deg, reshape=False, order=1,
+                             cval=np.nan, mode="constant")
+        m = ndimage.rotate((~nanmask).astype(float), rot_deg, reshape=False,
+                           order=1, cval=0.0, mode="constant")
+        out = np.where(m > 0.5, out / np.maximum(m, 1e-6), np.nan)
+    return out
+
+
+def greedy_align(est_m: np.ndarray, gt_m: np.ndarray, max_steps: int = 100):
+    """Greedy descent over {+-1 px shifts} x {+-5 deg rotations} minimizing
+    RMSE with per-step mean-bias removal (Eval_funcs.py:400-445).
+    Returns (aligned_est, total_change [dy, dx, deg])."""
+    shifts = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    rots = list(range(-5, 6))
+    est = est_m + np.nanmean(gt_m - est_m)
+    best = np.sqrt(np.nanmean((est - gt_m) ** 2))
+    change = np.zeros(3)
+    for _ in range(max_steps):
+        best_mv = None
+        for sh in shifts:
+            for r in rots:
+                if sh == (0, 0) and r == 0:
+                    continue
+                cand = shift_and_rotate(est, sh, r)
+                cand = cand + np.nanmean(gt_m - cand)
+                rmse = np.sqrt(np.nanmean((cand - gt_m) ** 2))
+                if rmse < best - 1e-9:
+                    best, best_mv = rmse, (sh, r)
+        if best_mv is None:
+            break
+        est = shift_and_rotate(est, best_mv[0], best_mv[1])
+        est = est + np.nanmean(gt_m - est)
+        change += [best_mv[0][0], best_mv[0][1], best_mv[1]]
+    return est, change
+
+
+def eval_hm(model, variables, gt_hm: np.ndarray, h_range: Tuple[float, float],
+            n_samples: int = 96, chunk_cols: int = 4096):
+    """The eval_HM pipeline: density surface -> meters -> scores before and
+    after greedy alignment.  gt_hm: [-1,1]-normalized lidar raster.
+    Returns (images dict, scores_before, scores_after, ci_width_m)."""
+    h0, h1 = h_range
+    est_n, ci = density_surface(model, variables, gt_hm.shape,
+                                n_samples, chunk_cols)
+    est_m = (est_n + 1) / 2 * (h1 - h0) + h0
+    gt_m = (np.asarray(gt_hm, np.float64) + 1) / 2 * (h1 - h0) + h0
+    est_m = est_m + np.nanmean(gt_m - est_m)
+    before = hm_scores(est_m, gt_m)
+    aligned, change = greedy_align(est_m, gt_m)
+    after = hm_scores(aligned, gt_m)
+    after["Shift_x_y_deg"] = change.tolist()
+    imgs = {"GT": gt_m, "Est_HM_no_Shift": est_m,
+            "Est_HM_after_Shift": aligned, "CI_width_m": ci * (h1 - h0)}
+    return imgs, before, after

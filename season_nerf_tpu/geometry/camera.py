@@ -167,6 +167,7 @@ class Camera:
     weight: float = 1.0
     rpc: Optional[RPCModel] = None     # the exact sensor model, if available
     scaled: bool = False
+    image: Optional[np.ndarray] = None  # GT pixels [H, W, 3] when loaded
 
     # -- projection ---------------------------------------------------------
     def project(self, x, y, z):

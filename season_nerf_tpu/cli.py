@@ -1,0 +1,269 @@
+"""Command-line drivers: the reference's five entry points, TPU-native.
+
+- ``run_test``       == main.py:34-104 (preprocess -> train -> eval)
+- ``run_lite``       == main_lite.py (quick-train defaults)
+- ``render_pretrained`` == main_run_Season_NeRF.py (novel view from a saved
+  model directory: Final_Model.nn + opts.json + W2C_W2L_H.npy)
+- ``setup_data``     == main_setup_data.py (unzip DFC2019 + Data.zip)
+- ``eval_region``    == main_eval_region.py (regional eval + merge)
+
+Sites named ``SYNTH*`` run on the built-in synthetic scene generator so the
+entire pipeline exercises end-to-end without the (non-redistributable)
+DFC2019 imagery.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import zipfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+from season_nerf_tpu.config import Config, get_opts, lite_defaults
+
+
+def angles_to_vec_from_site(world_center, w2l_h):
+    """(el, az) -> cube-frame unit vector through the saved similarity
+    (main_run_Season_NeRF.py:71 uses W2C_W2L_H.npy exactly this way)."""
+    from season_nerf_tpu.geometry.units import world_angle_2_local_vec
+
+    def to_vec(el, az):
+        return world_angle_2_local_vec(el, az, world_center, w2l_h)
+    return to_vec
+
+
+def sun_frame_from_site(world_center, w2l_h) -> np.ndarray:
+    """[3,3] linear ENU->cube map (exact for the affine similarity): lets
+    the jitted solar-ray sampler draw random sun directions in the same
+    frame world_angle_2_local_vec produces."""
+    to_vec = angles_to_vec_from_site(world_center, w2l_h)
+    # images of the ENU basis vectors: az 90 = east, az 0 = north, el 90 = up
+    east = to_vec(0.0, 90.0)
+    north = to_vec(0.0, 0.0)
+    up = to_vec(90.0, 0.0)
+    return np.stack([east, north, up], axis=1)
+
+
+def _prepare_synthetic(cfg: Config):
+    from season_nerf_tpu.data.synthetic import make_scene
+    from season_nerf_tpu.data.rays import build_ray_table, train_test_split
+    scene = make_scene(n_views=10, img_size=96, grid=96,
+                       seed=cfg.seed)
+    table = build_ray_table(scene.cameras, scene.images)
+    train_idx, test_idx = train_test_split(len(scene.cameras),
+                                           testing_size=cfg.testing_size)
+    return (scene.cameras, table, list(train_idx), list(test_idx),
+            scene.prior_hm, scene.hm, (0.0, 30.0), None, None)
+
+
+def _prepare_real(cfg: Config):
+    from season_nerf_tpu.data.ingest import preprocess_site, save_w2c_w2l, \
+        world_transform
+    from season_nerf_tpu.data.rays import build_ray_table, train_test_split
+    from season_nerf_tpu.data.lidar import get_gt_dsm
+    from season_nerf_tpu.priors.space_carving import space_carve_dsm, \
+        model_grid_from_bounds
+
+    gt_dir = os.path.join(cfg.root_dir, "Track3-Truth")
+    if not os.path.isdir(gt_dir):
+        gt_dir = None
+    site = preprocess_site(cfg.root_dir, cfg.site_name, cfg.rpc_dir,
+                           cfg.cache_dir, gt_dir=gt_dir,
+                           skip_bundle_adjust=cfg.skip_Bundle_Adjust,
+                           camera_model=cfg.camera_model)
+    save_w2c_w2l(os.path.join(cfg.logs_dir, "W2C_W2L_H.npy"), site)
+    wc, S = world_transform(site)
+
+    testing_names = None
+    t_file = os.path.join(cfg.cache_dir, "Testing_Imgs.txt")
+    if cfg.testing_image_names and os.path.exists(cfg.testing_image_names):
+        t_file = cfg.testing_image_names
+    if os.path.exists(t_file):
+        with open(t_file) as f:
+            testing_names = [l.strip() for l in f if l.strip()]
+    names = [c.name for c in site.cameras]
+    train_idx, test_idx = train_test_split(
+        len(site.cameras), testing_size=cfg.testing_size,
+        testing_names=testing_names if testing_names else None,
+        names=names)
+
+    table = build_ray_table(
+        site.cameras, [c.image for c in site.cameras],
+        downscales=[cfg.img_training_downscale] * len(site.cameras),
+        cache_path=os.path.join(cfg.cache_dir, "ray_table.npz"))
+
+    h_range = tuple(site.bounds_lla[2])
+    gt_dsm = None
+    if gt_dir is not None:
+        grid = model_grid_from_bounds(site.bounds_lla)
+        gt_dsm = get_gt_dsm(gt_dir, cfg.site_name, grid[:2],
+                            site.bounds_lla)
+    prior = None
+    if cfg.jump_start and cfg.DSM_Mode == "Space_Carve":
+        train_cams = [site.cameras[i] for i in train_idx]
+        prior = space_carve_dsm(
+            train_cams, [c.image for c in train_cams],
+            bounds_lla=site.bounds_lla,
+            cache_path=os.path.join(cfg.cache_dir,
+                                    f"SC_{cfg.site_name}_hm.npy"))
+    elif cfg.jump_start and cfg.DSM_Mode == "LiDAR":
+        prior = gt_dsm
+    return (site.cameras, table, list(train_idx), list(test_idx), prior,
+            gt_dsm, h_range, wc, S)
+
+
+def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
+             eval_img_size=None, eval_season_size=None):
+    """The main.py:34-104 pipeline.  The eval size overrides exist for tiny
+    smoke configurations; None uses the reference's quick sizes."""
+    from season_nerf_tpu.train.engine import Trainer
+    from season_nerf_tpu.train import state as state_lib
+    from season_nerf_tpu.render.renderer import Renderer
+    from season_nerf_tpu.eval.regional import (
+        analyze_model, write_analysis_outputs, regional_eval)
+    from season_nerf_tpu.models.tnerf import TNeRF
+    import jax
+    import jax.numpy as jnp
+
+    synth = cfg.site_name.upper().startswith("SYNTH")
+    prep = _prepare_synthetic(cfg) if synth else _prepare_real(cfg)
+    cams, table, train_idx, test_idx, prior, gt_dsm, h_range, wc, S = prep
+    train_table = table.split(np.array(train_idx))
+    val_table = table.split(np.array(test_idx)) if test_idx else None
+
+    sun_frame = sun_frame_from_site(wc, S) if wc is not None else None
+    angles_to_vec = (angles_to_vec_from_site(wc, S)
+                     if wc is not None else None)
+
+    if eval_only:
+        model = TNeRF(layer_width=cfg.fc_units,
+                      n_classes=cfg.number_low_frequency_cases)
+        template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                              jnp.zeros((2, 3)), jnp.zeros((2, 4)),
+                              train=False)
+        variables, _ = state_lib.restore_variables(
+            template, os.path.join(cfg.logs_dir, "Final_Model.nn"))
+        trainer = None
+    else:
+        trainer = Trainer(cfg, train_table, val_table, prior_hm=prior,
+                          gt_dsm=gt_dsm, sun_frame=sun_frame)
+        trainer.run(n_steps=train_steps)
+        trainer.finalize()
+        trainer.validation_report()
+        model = trainer.model
+        variables = {"params": trainer.state.params}
+        if jax.tree_util.tree_leaves(trainer.state.batch_stats):
+            variables["batch_stats"] = trainer.state.batch_stats
+    renderer = Renderer(model, variables, n_samples=cfg.n_samples,
+                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2)
+
+    out_dir = os.path.join(cfg.logs_dir, "Output")
+    analysis = analyze_model(
+        renderer, model, variables, cams, test_idx, gt_dsm,
+        h_range, cfg.logs_dir, hm_samples=cfg.n_samples,
+        img_size=eval_img_size or (256, 256),
+        walk_size=(eval_img_size[0] if eval_img_size else 128),
+        angles_to_vec=angles_to_vec)
+    write_analysis_outputs(analysis, out_dir)
+
+    detailed = os.path.join(cfg.logs_dir, "Detailed_Output")
+    regional_eval(renderer, model, variables, cams, test_idx,
+                  gt_dsm, prior, h_range, detailed, quick=True,
+                  img_size=eval_img_size, season_size=eval_season_size,
+                  hm_samples=cfg.n_samples if eval_img_size else None,
+                  angles_to_vec=angles_to_vec)
+    return trainer, analysis
+
+
+def render_pretrained(model_dir: str, va: Tuple[float, float],
+                      sa: Tuple[float, float], tf: str,
+                      out_size: int = 256, exact_shadow: bool = False,
+                      save_name: Optional[str] = None):
+    """main_run_Season_NeRF.py equivalent: novel view from a model dir."""
+    import jax.numpy as jnp
+    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.train.state import restore_variables
+    from season_nerf_tpu.render.renderer import Renderer, \
+        images_from_components
+    from season_nerf_tpu.data.ingest import load_w2c_w2l
+    from season_nerf_tpu.geometry.time_enc import year_frac_from_month_day
+    import jax
+
+    cfg = Config.load_json(os.path.join(model_dir, "opts.json"))
+    model = TNeRF(layer_width=cfg.fc_units,
+                  n_classes=cfg.number_low_frequency_cases)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                          jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    variables, meta = restore_variables(
+        template, os.path.join(model_dir, "Final_Model.nn"))
+
+    w2c_path = os.path.join(model_dir, "W2C_W2L_H.npy")
+    angles_to_vec = None
+    if os.path.exists(w2c_path):
+        wc, S = load_w2c_w2l(w2c_path)
+        angles_to_vec = angles_to_vec_from_site(wc, S)
+
+    if "/" in tf:
+        month, day = tf.split("/")
+        year_frac = year_frac_from_month_day(int(month), int(day))
+    else:
+        year_frac = float(tf)
+
+    renderer = Renderer(model, variables, n_samples=cfg.n_samples,
+                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2)
+    comp = renderer.component_render_by_dir(
+        tuple(va), tuple(sa), year_frac, (out_size, out_size),
+        angles_to_vec=angles_to_vec, exact_solar=exact_shadow)
+    imgs = images_from_components(comp, (out_size, out_size),
+                                  classic_shadows=cfg.Solar_Type_2)
+    shown = imgs["Season_Adj_Img"] * imgs["Shadow_Adjust"]
+    if save_name:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.imsave(save_name, np.clip(np.nan_to_num(shown), 0, 1))
+    return shown, imgs
+
+
+def setup_data(zip_dir: str, io_location: str):
+    """main_setup_data.py equivalent: unpack DFC2019 Track-3 zips into
+    IEEE_Data/Images and the repo Data.zip (cached RPCs + region lists)
+    into the cache (main_setup_data.py:22-82)."""
+    img_out = os.path.join(io_location, "IEEE_Data", "Images")
+    os.makedirs(img_out, exist_ok=True)
+    for fname in sorted(os.listdir(zip_dir)):
+        if not fname.endswith(".zip"):
+            continue
+        with zipfile.ZipFile(os.path.join(zip_dir, fname)) as z:
+            for member in z.namelist():
+                base = os.path.basename(member)
+                if not base:
+                    continue
+                if fname == "Data.zip":
+                    # cached RPCs + testing-region lists -> Cache/<site>/
+                    parts = member.split("/")
+                    site = next((p for p in parts if "_" in p and
+                                 p[:3].isalpha()), None)
+                    dest_dir = os.path.join(io_location, "Cache",
+                                            site or "misc")
+                    os.makedirs(dest_dir, exist_ok=True)
+                    with z.open(member) as src, \
+                            open(os.path.join(dest_dir, base), "wb") as dst:
+                        dst.write(src.read())
+                elif base.endswith((".tif", ".IMD", ".txt")):
+                    with z.open(member) as src, \
+                            open(os.path.join(img_out, base), "wb") as dst:
+                        dst.write(src.read())
+    return img_out
+
+
+def main_train(argv=None, defaults: Optional[Config] = None, **overrides):
+    cfg = get_opts(argv, defaults=defaults, **overrides)
+    return run_test(cfg)
+
+
+def main_lite(argv=None):
+    return main_train(argv, defaults=lite_defaults())

@@ -1,0 +1,92 @@
+"""Free-camera movie rendering.
+
+Equivalent capability to ``T_NeRF_Eval_Utils/mg_movie_maker.py``: a keyframe
+``MovieScript`` (view el/az, sun el/az, time-of-year per keyframe) smoothed
+by natural cubic splines with constant-speed arc-length reparametrization
+(script, :209-461), frames rendered through the Renderer, and export to GIF
+(always, via imageio/Pillow) or MP4 when an ffmpeg backend is available
+(edit_film, :463-466 shells out to ffmpeg; this environment has none, so
+GIF is the default artifact).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from season_nerf_tpu.geometry.spline import Spline3
+from season_nerf_tpu.render.renderer import Renderer
+
+
+@dataclass
+class Keyframe:
+    view_el_az: Tuple[float, float]
+    sun_el_az: Tuple[float, float]
+    time_frac: float
+
+
+@dataclass
+class MovieScript:
+    """Keyframed camera/sun/time path with constant-speed interpolation."""
+    keyframes: List[Keyframe] = field(default_factory=list)
+
+    def add(self, view_el_az, sun_el_az, time_frac):
+        self.keyframes.append(Keyframe(tuple(view_el_az), tuple(sun_el_az),
+                                       float(time_frac)))
+        return self
+
+    def sample(self, n_frames: int) -> List[Keyframe]:
+        """n_frames keyframe states along the arc-length-parameterized
+        spline through all channels."""
+        assert len(self.keyframes) >= 2, "need at least 2 keyframes"
+        chans = np.array([[k.view_el_az[0], k.view_el_az[1],
+                           k.sun_el_az[0], k.sun_el_az[1], k.time_frac]
+                          for k in self.keyframes])
+        sp = Spline3(chans)
+        ss = np.linspace(0, 1, n_frames)
+        out = []
+        for s in ss:
+            v = sp.at_arc(s)
+            out.append(Keyframe((float(v[0]), float(v[1])),
+                                (float(np.clip(v[2], 1, 90)), float(v[3])),
+                                float(v[4]) % 1.0))
+        return out
+
+
+def render_movie(renderer: Renderer, script: MovieScript, n_frames: int,
+                 out_size: int, angles_to_vec=None):
+    """-> [n_frames, H, W, 3] uint8 frames."""
+    frames = []
+    for kf in script.sample(n_frames):
+        out = renderer.render_img(kf.view_el_az, kf.sun_el_az, kf.time_frac,
+                                  out_size, angles_to_vec=angles_to_vec)
+        img = np.clip(np.nan_to_num(out["Col_Img"]), 0, 1)
+        frames.append((img * 255).astype(np.uint8))
+    return np.stack(frames)
+
+
+def export_film(frames: np.ndarray, path: str, fps: int = 12):
+    """Write frames to GIF (or MP4 when an ffmpeg backend exists).
+    Returns the path actually written."""
+    import imageio
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if path.endswith(".mp4"):
+        try:
+            imageio.mimsave(path, list(frames), fps=fps)
+            return path
+        except Exception:
+            path = path[:-4] + ".gif"
+    imageio.mimsave(path, list(frames), duration=1000.0 / fps, loop=0)
+    return path
+
+
+def giffify(images: Sequence[np.ndarray], path: str, duration_ms: float = 200):
+    """Plain image-list GIF writer (load.giffify, load.py:11-19)."""
+    import imageio
+    frames = [(np.clip(np.nan_to_num(np.asarray(im, float)), 0, 1) * 255)
+              .astype(np.uint8) for im in images]
+    imageio.mimsave(path, frames, duration=duration_ms, loop=0)
+    return path

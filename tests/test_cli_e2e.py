@@ -1,0 +1,129 @@
+"""End-to-end CLI pipeline test: train a tiny synthetic site through
+run_test, verify every artifact the reference contract promises, then
+render a novel view from the saved model directory, build a movie, and run
+the report/summary-figure writers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from season_nerf_tpu.config import Config
+from season_nerf_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    logs = str(tmp_path_factory.mktemp("exp"))
+    cfg = Config(site_name="SYNTH_TEST", exp_name="synth_e2e",
+                 max_train_steps=10, n_samples=8, batch_size=64,
+                 fc_units=32, chunk=2048, n_saves=2, testing_size=2,
+                 logs_dir=logs, IO_Location=str(tmp_path_factory.mktemp("io")))
+    cfg.resolve_dirs()
+    cfg.logs_dir = logs   # keep the temp dir
+    cfg.save_json()
+    trainer, analysis = cli.run_test(cfg, eval_img_size=(12, 12),
+                                     eval_season_size=(8, 8))
+    return cfg, logs, analysis
+
+
+def test_artifacts_exist(trained_dir):
+    cfg, logs, analysis = trained_dir
+    assert os.path.exists(os.path.join(logs, "Final_Model.nn"))
+    assert os.path.exists(os.path.join(logs, "opts.json"))
+    assert os.path.exists(os.path.join(logs, "Analysis.pickle"))
+    out = os.path.join(logs, "Output")
+    assert os.path.exists(os.path.join(out, "Image_scores.txt"))
+    assert os.path.exists(os.path.join(out, "Time_Walk.gif"))
+    detailed = os.path.join(logs, "Detailed_Output")
+    for f in ("HM_Summary.pickle", "Img_Summary.pickle",
+              "Shadow_Scores_Summary.pickle", "Season_Summary.pickle",
+              "Image_scores.txt", "Shadow_scores.txt", "Season_scores.txt",
+              "Data_Sat_and_Sun_pose.png"):
+        assert os.path.exists(os.path.join(detailed, f)), f
+
+
+def test_analysis_contents(trained_dir):
+    cfg, logs, analysis = trained_dir
+    assert "HM" in analysis and "Images" in analysis
+    assert np.isfinite(analysis["HM"]["After"]["RMSE"])
+    assert len(analysis["Images"]) == 2    # testing_size cameras
+
+
+def test_render_pretrained(trained_dir):
+    cfg, logs, analysis = trained_dir
+    shown, imgs = cli.render_pretrained(logs, (70, 30), (45, 180), "07/19",
+                                        out_size=12)
+    assert shown.shape == (12, 12, 3)
+    assert np.isfinite(shown).all()
+    # MM/DD parse and fraction parse agree
+    shown2, _ = cli.render_pretrained(logs, (70, 30), (45, 180), "0.55",
+                                      out_size=8)
+    assert shown2.shape == (8, 8, 3)
+
+
+def test_eval_only_reload(trained_dir):
+    cfg, logs, analysis = trained_dir
+    trainer, analysis2 = cli.run_test(cfg, eval_only=True,
+                                      eval_img_size=(8, 8),
+                                      eval_season_size=(8, 8))
+    assert trainer is None
+    assert "Images" in analysis2
+
+
+def test_multi_region_merge(trained_dir, tmp_path):
+    cfg, logs, analysis = trained_dir
+    from season_nerf_tpu.eval.regional import multi_region_merge
+    merged = multi_region_merge([os.path.join(logs, "Detailed_Output")],
+                                str(tmp_path / "Full_Summary"))
+    assert merged["HM"] or merged["Images"]
+    assert os.path.exists(tmp_path / "Full_Summary" / "Merged_Results.pickle")
+
+
+def test_movie_and_summary_figs(trained_dir, tmp_path):
+    cfg, logs, analysis = trained_dir
+    import jax
+    import jax.numpy as jnp
+    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.train.state import restore_variables
+    from season_nerf_tpu.render.renderer import Renderer
+    from season_nerf_tpu.render.movie import MovieScript, render_movie, \
+        export_film
+    from season_nerf_tpu.eval.summary_images import season_sun_grid
+
+    model = TNeRF(layer_width=cfg.fc_units,
+                  n_classes=cfg.number_low_frequency_cases)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                          jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    variables, _ = restore_variables(
+        template, os.path.join(logs, "Final_Model.nn"))
+    r = Renderer(model, variables, n_samples=8, chunk=2048)
+
+    script = (MovieScript()
+              .add((90, 0), (45, 90), 0.1)
+              .add((70, 120), (50, 180), 0.5)
+              .add((80, 240), (40, 270), 0.9))
+    frames = render_movie(r, script, n_frames=4, out_size=8)
+    assert frames.shape == (4, 8, 8, 3) and frames.dtype == np.uint8
+    path = export_film(frames, str(tmp_path / "movie.gif"), fps=4)
+    assert os.path.exists(path)
+
+    grid_path = season_sun_grid(
+        r, [0.1, 0.6], [(40, 160), (60, 200)], (90, 0), 8,
+        str(tmp_path / "grid.png"))
+    assert os.path.exists(grid_path)
+
+
+def test_setup_data_unzip(tmp_path):
+    import zipfile
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    with zipfile.ZipFile(zdir / "Track3.zip", "w") as z:
+        z.writestr("Track3-RGB/OMA_000_RGB.tif", b"fake")
+        z.writestr("Track3-RGB/readme.md", b"skip me")
+    with zipfile.ZipFile(zdir / "Data.zip", "w") as z:
+        z.writestr("Data/OMA_132/rpc_x_original.ikono", b"rpc")
+    out = cli.setup_data(str(zdir), str(tmp_path / "io"))
+    assert os.path.exists(os.path.join(out, "OMA_000_RGB.tif"))
+    assert os.path.exists(
+        tmp_path / "io" / "Cache" / "OMA_132" / "rpc_x_original.ikono")

@@ -11,6 +11,8 @@ training, running statistics at eval).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +38,7 @@ def _torch_uniform_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
-def torch_dense(features, in_features, name=None):
+def torch_dense(features, in_features, name=None, dtype=None):
     """nn.Dense with torch.nn.Linear default initialization (used for every
     non-SIREN head layer in the reference)."""
     # static math must stay host-side (np): module setup may run under jit
@@ -45,7 +47,7 @@ def torch_dense(features, in_features, name=None):
     def bias_init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
-    return nn.Dense(features, kernel_init=_torch_uniform_init,
+    return nn.Dense(features, dtype=dtype, kernel_init=_torch_uniform_init,
                     bias_init=bias_init, name=name)
 
 
@@ -53,12 +55,15 @@ class SineLayer(nn.Module):
     """sin(norm(omega_0 * (W x + b))) with SIREN init.
 
     ``use_norm`` enables the batch-norm variant used in the reference trunk
-    (G_NeRF.py:42-50 passes use_norm=True for fc2..fc9).
+    (G_NeRF.py:42-50 passes use_norm=True for fc2..fc9).  ``dtype`` is the
+    matmul compute dtype (bfloat16 puts the MXU in its fast mode; params and
+    the sin/norm epilogue stay float32).
     """
     features: int
     is_first: bool = False
     omega_0: float = 30.0
     use_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -66,11 +71,12 @@ class SineLayer(nn.Module):
         bound = 1.0 / float(np.sqrt(in_features))
         dense = nn.Dense(
             self.features,
+            dtype=self.dtype,
             kernel_init=siren_kernel_init(self.is_first, self.omega_0),
             bias_init=lambda key, shape, dtype=jnp.float32: jax.random.uniform(
                 key, shape, dtype, minval=-bound, maxval=bound),
             name="linear")
-        z = self.omega_0 * dense(x)
+        z = (self.omega_0 * dense(x)).astype(jnp.float32)
         if self.use_norm:
             z = nn.BatchNorm(
                 use_running_average=not train,

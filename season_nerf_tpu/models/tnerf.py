@@ -47,30 +47,31 @@ class GNeRF(nn.Module):
     n_channels: int = 3
     extended: bool = True
     use_norm: bool = True
+    dtype: Any = None
 
     def setup(self):
         lw = self.layer_width
         lw2 = max(lw // 2, 1)
         lw4 = max(lw // 4, 1)
-        self.fc1 = SineLayer(lw, is_first=True, name="fc1")
-        self.fc2 = SineLayer(lw, use_norm=self.use_norm, name="fc2")
-        self.fc3 = SineLayer(lw, use_norm=self.use_norm, name="fc3")
-        self.fc4 = SineLayer(lw, use_norm=self.use_norm, name="fc4")
-        self.fc5 = SineLayer(lw, use_norm=self.use_norm, name="fc5")
-        self.fc6 = SineLayer(lw, use_norm=self.use_norm, name="fc6")
-        self.fc7 = SineLayer(lw, use_norm=self.use_norm, name="fc7")
-        self.fc8 = SineLayer(lw, use_norm=self.use_norm, name="fc8")
-        self.fc9 = SineLayer(lw2, use_norm=self.use_norm, name="fc9")
+        self.fc1 = SineLayer(lw, is_first=True, dtype=self.dtype, name="fc1")
+        self.fc2 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc2")
+        self.fc3 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc3")
+        self.fc4 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc4")
+        self.fc5 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc5")
+        self.fc6 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc6")
+        self.fc7 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc7")
+        self.fc8 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc8")
+        self.fc9 = SineLayer(lw2, use_norm=self.use_norm, dtype=self.dtype, name="fc9")
         in_pose = encoded_size(3, self.pe_pose, self.extended)
         in_solar = encoded_size(3, self.pe_solar, self.extended)
-        self.fc10_col = torch_dense(self.n_channels, lw2, name="fc10_col")
-        self.fc10_sigma = torch_dense(1, lw2, name="fc10_sigma")
-        self.fc_solar_1 = SineLayer(lw2, is_first=True, name="fc_solar_1")
-        self.fc_solar_2 = SineLayer(lw2, name="fc_solar_2")
-        self.fc_solar_3 = SineLayer(lw2, name="fc_solar_3")
-        self.fc_solar_4 = torch_dense(1, lw2, name="fc_solar_4")
-        self.fc_sky_1 = SineLayer(lw4, is_first=True, name="fc_sky_1")
-        self.fc_sky_2 = torch_dense(3, lw4, name="fc_sky_2")
+        self.fc10_col = torch_dense(self.n_channels, lw2, name="fc10_col", dtype=self.dtype)
+        self.fc10_sigma = torch_dense(1, lw2, name="fc10_sigma", dtype=self.dtype)
+        self.fc_solar_1 = SineLayer(lw2, is_first=True, dtype=self.dtype, name="fc_solar_1")
+        self.fc_solar_2 = SineLayer(lw2, dtype=self.dtype, name="fc_solar_2")
+        self.fc_solar_3 = SineLayer(lw2, dtype=self.dtype, name="fc_solar_3")
+        self.fc_solar_4 = torch_dense(1, lw2, name="fc_solar_4", dtype=self.dtype)
+        self.fc_sky_1 = SineLayer(lw4, is_first=True, dtype=self.dtype, name="fc_sky_1")
+        self.fc_sky_2 = torch_dense(3, lw4, name="fc_sky_2", dtype=self.dtype)
 
     def encode_x(self, x, train=False):
         pe = positional_encode(x, self.pe_pose, self.extended)
@@ -87,7 +88,8 @@ class GNeRF(nn.Module):
     def position(self, x, train=False):
         """-> (x_enc, rho_raw, col_raw)"""
         x_enc = self.encode_x(x, train)
-        return x_enc, self.fc10_sigma(x_enc), self.fc10_col(x_enc)
+        f32 = lambda a: a.astype(jnp.float32)
+        return x_enc, f32(self.fc10_sigma(x_enc)), f32(self.fc10_col(x_enc))
 
     def solar(self, x_enc, sun_dir, train=False):
         """-> (vis_raw, sky_raw)"""
@@ -95,8 +97,8 @@ class GNeRF(nn.Module):
         a = self.fc_solar_1(jnp.concatenate([x_enc, sun_pe], -1), train)
         a = self.fc_solar_2(a, train)
         a = self.fc_solar_3(a, train)
-        vis_raw = self.fc_solar_4(a)
-        sky_raw = self.fc_sky_2(self.fc_sky_1(sun_pe, train))
+        vis_raw = self.fc_solar_4(a).astype(jnp.float32)
+        sky_raw = self.fc_sky_2(self.fc_sky_1(sun_pe, train)).astype(jnp.float32)
         return vis_raw, sky_raw
 
 
@@ -110,6 +112,7 @@ class TNeRF(nn.Module):
     n_channels: int = 3
     extended: bool = True
     use_norm: bool = True
+    dtype: Any = None
 
     def setup(self):
         lw = self.layer_width
@@ -117,14 +120,14 @@ class TNeRF(nn.Module):
         self.gnerf = GNeRF(layer_width=lw, pe_pose=self.pe_pose,
                            pe_solar=self.pe_solar, n_channels=self.n_channels,
                            extended=self.extended, use_norm=self.use_norm,
-                           name="gnerf")
-        self.time_1 = SineLayer(lw, is_first=True, name="time_1")
-        self.time_2 = SineLayer(lw, name="time_2")
-        self.class_head = torch_dense(self.n_classes, lw, name="class_head")
-        self.adjust_1 = SineLayer(lw, name="adjust_1")
-        self.adjust_2 = SineLayer(lw, name="adjust_2")
-        self.adjust_3 = SineLayer(lw, name="adjust_3")
-        self.adjust_col = torch_dense(self.n_classes * 3, lw, name="adjust_col")
+                           dtype=self.dtype, name="gnerf")
+        self.time_1 = SineLayer(lw, is_first=True, dtype=self.dtype, name="time_1")
+        self.time_2 = SineLayer(lw, dtype=self.dtype, name="time_2")
+        self.class_head = torch_dense(self.n_classes, lw, name="class_head", dtype=self.dtype)
+        self.adjust_1 = SineLayer(lw, dtype=self.dtype, name="adjust_1")
+        self.adjust_2 = SineLayer(lw, dtype=self.dtype, name="adjust_2")
+        self.adjust_3 = SineLayer(lw, dtype=self.dtype, name="adjust_3")
+        self.adjust_col = torch_dense(self.n_classes * 3, lw, name="adjust_col", dtype=self.dtype)
         # unused-by-forward heads kept for reference-checkpoint parity
         self.adjust_rho = torch_dense(self.n_classes, lw, name="adjust_rho")
         self.adjust_solar_vis = torch_dense(self.n_classes, lw, name="adjust_solar_vis")
@@ -137,12 +140,13 @@ class TNeRF(nn.Module):
         t2 = t4[..., 0:2]
         te = positional_encode(t2, self.pe_time, self.extended)
         h = self.time_2(self.time_1(te, train), train)
-        return jax.nn.softmax(self.class_head(h), axis=-1)
+        return jax.nn.softmax(self.class_head(h).astype(jnp.float32), axis=-1)
 
     def adjust_from_enc(self, x_enc, train=False):
         """Per-class albedo adjust [N, n_classes, 3]."""
         y = self.adjust_3(self.adjust_2(self.adjust_1(x_enc, train), train), train)
-        return self.adjust_col(y).reshape(x_enc.shape[0], self.n_classes, 3)
+        return self.adjust_col(y).astype(jnp.float32).reshape(
+            x_enc.shape[0], self.n_classes, 3)
 
     # -- forward modes ------------------------------------------------------
     def __call__(self, x, sun_dir, t4, train=False):

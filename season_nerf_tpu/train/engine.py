@@ -66,8 +66,11 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         self.writer = writer or MetricWriter(cfg.logs_dir or "./logs")
+        compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                         else None)
         self.model = TNeRF(layer_width=cfg.fc_units,
-                           n_classes=cfg.number_low_frequency_cases)
+                           n_classes=cfg.number_low_frequency_cases,
+                           dtype=compute_dtype)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_key = jax.random.split(self.rng)
         self.variables_template = self.model.init(

@@ -50,9 +50,13 @@ def sun_frame_from_site(world_center, w2l_h) -> np.ndarray:
 def _prepare_synthetic(cfg: Config):
     from season_nerf_tpu.data.synthetic import make_scene
     from season_nerf_tpu.data.rays import build_ray_table, train_test_split
+    from season_nerf_tpu.data.rays import camera_weights
     scene = make_scene(n_views=10, img_size=96, grid=96,
                        seed=cfg.seed)
-    table = build_ray_table(scene.cameras, scene.images)
+    weights = (camera_weights(scene.cameras)
+               if cfg.weight_training_samples else None)
+    table = build_ray_table(scene.cameras, scene.images, weights=weights,
+                            use_hsluv=cfg.use_HSLuv)
     train_idx, test_idx = train_test_split(len(scene.cameras),
                                            testing_size=cfg.testing_size)
     return (scene.cameras, table, list(train_idx), list(test_idx),
@@ -90,9 +94,13 @@ def _prepare_real(cfg: Config):
         testing_names=testing_names if testing_names else None,
         names=names)
 
+    from season_nerf_tpu.data.rays import camera_weights
+    weights = (camera_weights(site.cameras)
+               if cfg.weight_training_samples else None)
     table = build_ray_table(
         site.cameras, [c.image for c in site.cameras],
         downscales=[cfg.img_training_downscale] * len(site.cameras),
+        weights=weights, use_hsluv=cfg.use_HSLuv,
         cache_path=os.path.join(cfg.cache_dir, "ray_table.npz"))
 
     h_range = tuple(site.bounds_lla[2])

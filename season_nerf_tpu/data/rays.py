@@ -83,12 +83,18 @@ def rays_from_image(cam, image, downscale=1, weight=1.0,
 
 
 def build_ray_table(cams, images, downscales=None, weights=None,
-                    cache_path=None) -> RayTable:
-    """Vectorized ray precompute over a list of scaled cameras + images."""
+                    cache_path=None, use_hsluv=False) -> RayTable:
+    """Vectorized ray precompute over a list of scaled cameras + images.
+    ``use_hsluv`` stores HSLuv-normalized GT colors (the use_HSLuv flag,
+    NN_loaders/mg_Color_Loader.py:27-29)."""
     if cache_path and os.path.exists(cache_path):
         return RayTable.load(cache_path)
     downscales = downscales or [1] * len(cams)
     weights = weights if weights is not None else np.ones(len(cams))
+    if use_hsluv:
+        from season_nerf_tpu.utils.hsluv import rgb_to_hsluv_normalized
+        images = [rgb_to_hsluv_normalized(img[..., :3]).astype(np.float32)
+                  for img in images]
     all_rows, all_ids = [], []
     for i, (cam, img) in enumerate(zip(cams, images)):
         rows = rays_from_image(cam, img, downscale=downscales[i], weight=weights[i])
@@ -106,6 +112,41 @@ def build_ray_table(cams, images, downscales=None, weights=None,
     if cache_path:
         table.save(cache_path)
     return table
+
+
+def inverse_density_weights(X, starts, ends, circular, sigma=None):
+    """Per-item weights inversely proportional to a Gaussian kernel density
+    over the feature rows (weight_Xs_v2, mg_Pt_holder.py:81-105), fully
+    vectorized.  Circular features wrap across [start, end]."""
+    X = np.asarray(X, np.float64)
+    n, d = X.shape
+    pd = np.zeros((n, n, d))
+    for j in range(d):
+        diff = np.abs(X[:, j][:, None] - X[:, j][None, :])
+        if circular[j]:
+            d0 = (np.abs(X[:, j] - starts[j])[:, None]
+                  + np.abs(X[:, j] - ends[j])[None, :])
+            d2 = (np.abs(X[:, j] - ends[j])[:, None]
+                  + np.abs(X[:, j] - starts[j])[None, :])
+            diff = np.minimum(diff, np.minimum(d0, d2))
+        s = np.std(diff) if sigma is None else sigma[j]
+        pd[:, :, j] = diff / max(s, 1e-12)
+    dists = np.sum(pd ** 2, -1)
+    w = 1.0 / np.sum(np.exp(-dists), 1)
+    w = w / np.max(w)
+    return w / np.sum(w) * n
+
+
+def camera_weights(cams):
+    """Inverse-density image weights over (off-nadir, view azimuth,
+    year-fraction) — the weight_training_samples path
+    (mg_Pt_holder.py:120-129)."""
+    X = np.array([[90.0 - c.view_el_az[0], c.view_el_az[1], c.time_frac]
+                  for c in cams])
+    starts = np.array([0.0, 0, 0])
+    ends = np.array([min(np.max(X[:, 0]) + 5, 180.0), 360.0, 1.0])
+    circular = np.array([False, True, True])
+    return inverse_density_weights(X, starts, ends, circular)
 
 
 def decode_batch(batch):

@@ -71,7 +71,7 @@ def expected_surface(ps, pts, deltas):
 
 
 def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
-              n_samples, train=False, classic_solar=False,
+              n_samples, n_importance=0, train=False, classic_solar=False,
               prior_hm=None, model_trust=1.0, mutable=False):
     """Render a batch of rays: the All_in_One_Eval.eval equivalent.
 
@@ -85,7 +85,21 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
     """
     R = tops.shape[0]
     S = n_samples
-    pts, deltas = sample_coarse(rng, tops, bots, S, train=train)
+    k_coarse, k_fine = (jax.random.split(rng) if rng is not None
+                        else (None, None))
+    pts, deltas = sample_coarse(k_coarse, tops, bots, S, train=train)
+    if n_importance > 0:
+        # hierarchical resampling (misc.py:297-328 equivalent): a cheap
+        # sigma-only coarse pass drives inverse-CDF fine sampling; the full
+        # network then runs once on the merged point set
+        from season_nerf_tpu.ops.sampling import sample_fine
+        rho_c = model.apply(variables, pts.reshape(-1, 3), train=False,
+                            method="sigma_only").reshape(R, S, 1)
+        rho_c = jax.lax.stop_gradient(rho_c)
+        _, _, ps_c = pv_pe_ps(rho_c, deltas)
+        pts, deltas = sample_fine(k_fine, tops, bots, pts, ps_c[..., 0],
+                                  n_importance)
+        S = S + n_importance
     flat = pts.reshape(-1, 3)
     sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
     t4_flat = jnp.broadcast_to(t4[:, None, :], (R, S, 4)).reshape(-1, 4)

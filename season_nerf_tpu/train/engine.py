@@ -113,7 +113,8 @@ class Trainer:
             if use_prior:
                 alpha_cfg = _alpha_cfg()
         return LossStatics(
-            n_samples=cfg.n_samples, use_prior=use_prior,
+            n_samples=cfg.n_samples, n_importance=cfg.n_importance,
+            use_prior=use_prior,
             use_solar=cfg.Use_Solar, classic_solar=cfg.Solar_Type_2,
             use_mse_loss=cfg.Use_MSE_loss, sc_lambda=cfg.sc_lambda,
             phase_len=phase.end, color_cfg=color_cfg, alpha_cfg=alpha_cfg)

@@ -41,6 +41,7 @@ class LossStatics(NamedTuple):
     """Static (compile-time) switches of the loss — one jit per combination
     (the reference rebuilds its eval tool per phase, Net_Tool_2.py:63-131)."""
     n_samples: int
+    n_importance: int
     use_prior: bool
     use_solar: bool
     classic_solar: bool        # Solar_Type_2
@@ -104,7 +105,8 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
 
     out, updates = rendering.eval_rays(
         model, variables, k_render, batch["top"], batch["bot"], batch["sun"],
-        batch["t4"], n_samples=s.n_samples, train=train,
+        batch["t4"], n_samples=s.n_samples, n_importance=s.n_importance,
+        train=train,
         classic_solar=s.classic_solar,
         prior_hm=prior_hm if s.use_prior else None,
         model_trust=model_trust, mutable=mutable)

@@ -1,0 +1,93 @@
+"""HSLuv conversion, inverse-density weighting, fine importance sampling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from season_nerf_tpu.utils import hsluv
+from season_nerf_tpu.data.rays import inverse_density_weights, camera_weights
+from season_nerf_tpu.data.synthetic import make_scene
+from season_nerf_tpu.models.tnerf import TNeRF
+from season_nerf_tpu.ops import rendering
+
+
+# --- HSLuv -------------------------------------------------------------
+
+def test_hsluv_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = rng.random((64, 3))
+    back = hsluv.hsluv_to_rgb(hsluv.rgb_to_hsluv(rgb))
+    np.testing.assert_allclose(back, rgb, atol=1e-6)
+
+
+def test_hsluv_known_values():
+    # white: L=100, S=0; black: L=0
+    w = hsluv.rgb_to_hsluv([[1.0, 1.0, 1.0]])[0]
+    assert w[2] > 99.99 and w[1] < 1e-4
+    b = hsluv.rgb_to_hsluv([[0.0, 0.0, 0.0]])[0]
+    assert b[2] < 1e-6
+    # pure red: hue ~12.2 deg, S ~100, L ~53.2 (published HSLuv values)
+    r = hsluv.rgb_to_hsluv([[1.0, 0.0, 0.0]])[0]
+    np.testing.assert_allclose(r, [12.177, 100.0, 53.237], atol=0.05)
+
+
+def test_hsluv_normalized_range():
+    rng = np.random.default_rng(1)
+    h = hsluv.rgb_to_hsluv_normalized(rng.random((32, 32, 3)))
+    assert (h >= 0).all() and (h <= 1).all()
+    back = hsluv.hsluv_normalized_to_rgb(h)
+    assert back.shape == (32, 32, 3)
+
+
+# --- weighting ----------------------------------------------------------
+
+def test_inverse_density_weights_favor_isolated():
+    # three clustered points + one isolated: the isolated one gets the
+    # largest weight
+    X = np.array([[0.1], [0.11], [0.12], [0.9]])
+    w = inverse_density_weights(X, [0.0], [1.0], [False])
+    assert w[3] == w.max()
+    np.testing.assert_allclose(w.sum(), 4.0, rtol=1e-9)
+
+
+def test_inverse_density_weights_circular_wrap():
+    # 0.02 and 0.98 are close on the year circle: with wrap they share the
+    # cluster penalty, without it the 0.98 point looks isolated
+    X = np.array([[0.0], [0.02], [0.98], [0.5]])
+    w_circ = inverse_density_weights(X, [0.0], [1.0], [True])
+    w_lin = inverse_density_weights(X, [0.0], [1.0], [False])
+    assert w_circ[3] == w_circ.max()          # 0.5 is the isolated one
+    assert w_lin[2] > w_circ[2]               # wrap reduces 0.98's isolation
+
+
+def test_camera_weights(tmp_path):
+    scene = make_scene(n_views=5, img_size=16, grid=24, seed=0)
+    w = camera_weights(scene.cameras)
+    assert w.shape == (5,)
+    np.testing.assert_allclose(w.sum(), 5.0, rtol=1e-9)
+    assert (w > 0).all()
+
+
+# --- importance sampling -------------------------------------------------
+
+def test_eval_rays_with_importance():
+    model = TNeRF(layer_width=32, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    R = 8
+    xy = jax.random.uniform(jax.random.PRNGKey(1), (R, 2), minval=-1,
+                            maxval=1)
+    tops = jnp.concatenate([xy, jnp.ones((R, 1))], 1)
+    bots = jnp.concatenate([xy, -jnp.ones((R, 1))], 1)
+    sun = jnp.broadcast_to(jnp.asarray([0.0, 0, 1.0]), (R, 3))
+    t4 = jnp.ones((R, 4))
+    out, _ = rendering.eval_rays(
+        model, variables, jax.random.PRNGKey(2), tops, bots, sun, t4,
+        n_samples=8, n_importance=4, train=True, mutable=True)
+    assert out["rho"].shape == (R, 12, 1)
+    assert out["rendered"].shape == (R, 3)
+    assert np.isfinite(np.asarray(out["rendered"])).all()
+    # per-ray sample points are sorted along the ray (z decreasing)
+    z = np.asarray(out["pts"])[..., 2]
+    assert (np.diff(z, axis=1) <= 1e-5).all()

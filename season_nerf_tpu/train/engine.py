@@ -250,6 +250,39 @@ class Trainer:
         return eval_fn
 
     # ------------------------------------------------------------------
+    # resume (capability the reference lacks: checkpoints are save-only,
+    # SURVEY.md §5 — a crash at step 49,999 loses the run there)
+    # ------------------------------------------------------------------
+    def resume(self, ckpt_path: str):
+        """Restore the FULL train state (params, BN stats, both optimizer
+        states, adaptive-loss latents, phase/step) and continue."""
+        from flax import serialization
+        with open(ckpt_path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        extra = payload.get("extra", {})
+        self.step = int(extra.get("step", 0))
+        self._carry_alpha = float(extra.get("carry_alpha", 2.0))
+        self._carry_scale = float(extra.get("carry_scale", 0.03))
+        phase = phase_lib.phase_at(self.phases, max(self.step - 1, 0))
+        self._enter_phase(phase)     # builds matching state templates
+        self.state, _ = state_lib.load_checkpoint(ckpt_path, self.state)
+        return self
+
+    def profile_steps(self, trace_dir: str, n_steps: int = 5):
+        """Emit a jax.profiler trace of n training steps (the tracing
+        capability the reference lacks, SURVEY.md §5)."""
+        phase = phase_lib.phase_at(self.phases, self.step)
+        if self._phase is None or phase.index != self._phase.index:
+            self._enter_phase(phase)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_steps):
+                self.rng, k = jax.random.split(self.rng)
+                self.state, _ = self._step_fn(self.state, k)
+                self.step += 1
+            jax.block_until_ready(self.state.params)
+        return trace_dir
+
+    # ------------------------------------------------------------------
     # the loop
     # ------------------------------------------------------------------
     def run(self, n_steps: Optional[int] = None, log_every: int = 50):

@@ -158,6 +158,61 @@ def greedy_align(est_m: np.ndarray, gt_m: np.ndarray, max_steps: int = 100):
     return est, change
 
 
+def apply_affine(img: np.ndarray, rot_deg: float, scale, shift) -> np.ndarray:
+    """Rotate/scale/shift about the image center, NaN padded — the
+    regional-eval transform (mg_HM_Eval.apply_T, :19-32)."""
+    from scipy import ndimage
+    th = np.deg2rad(rot_deg)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    S = np.diag([1.0 / scale[0], 1.0 / scale[1]])
+    M = R @ S
+    center = (np.array(img.shape) - 1) / 2
+    offset = center - M @ (center + np.asarray(shift, float))
+    nanmask = ~np.isfinite(img)
+    filled = np.where(nanmask, 0.0, img)
+    out = ndimage.affine_transform(filled, M, offset=offset, order=1,
+                                   cval=0.0, mode="constant")
+    w = ndimage.affine_transform((~nanmask).astype(float), M, offset=offset,
+                                 order=1, cval=0.0, mode="constant")
+    return np.where(w > 0.5, out / np.maximum(w, 1e-6), np.nan)
+
+
+def simple_align(est_m: np.ndarray, gt_m: np.ndarray, max_steps: int = 60):
+    """Hill-climb over (rotation, scale_x, scale_y, shift_x, shift_y) with a
+    per-candidate linear bias fit (mg_HM_Eval.simple_align + Adjust_Region,
+    :34-91).  Returns (aligned, T, (A, B) linear fit)."""
+
+    def bias_fit(est, gt):
+        x, y = est.ravel(), gt.ravel()
+        ok = np.isfinite(x) & np.isfinite(y)
+        if ok.sum() < 8:
+            return est, 1.0, 0.0
+        A, B = np.polyfit(x[ok], y[ok], deg=1)
+        return est * A + B, A, B
+
+    def score(T):
+        warped = apply_affine(est_m, T[0], (T[1], T[2]), (T[3], T[4]))
+        adj, A, B = bias_fit(warped, gt_m)
+        return float(np.sqrt(np.nanmean((adj - gt_m) ** 2))), adj, (A, B)
+
+    T = np.array([0.0, 1.0, 1.0, 0.0, 0.0])
+    best, best_img, best_fit = score(T)
+    for _ in range(max_steps):
+        improved = False
+        for axis, delta in [(0, 1.0), (0, -1.0), (1, 0.01), (1, -0.01),
+                            (2, 0.01), (2, -0.01), (3, 1.0), (3, -1.0),
+                            (4, 1.0), (4, -1.0)]:
+            cand = T.copy()
+            cand[axis] += delta
+            r, img, fit = score(cand)
+            if r < best - 1e-9:
+                best, best_img, best_fit, T = r, img, fit, cand
+                improved = True
+        if not improved:
+            break
+    return best_img, T, best_fit
+
+
 def eval_hm(model, variables, gt_hm: np.ndarray, h_range: Tuple[float, float],
             n_samples: int = 96, chunk_cols: int = 4096):
     """The eval_HM pipeline: density surface -> meters -> scores before and

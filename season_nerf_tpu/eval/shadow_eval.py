@@ -91,6 +91,37 @@ def shadow_analysis(exact: np.ndarray, est: np.ndarray) -> Dict[str, float]:
             "Avg_Offset": float(np.mean(np.abs(surf_dist)))}
 
 
+def advanced_solar_sweep(renderer, view_angles: np.ndarray,
+                         sun_angles: np.ndarray, out_size=(32, 32),
+                         angles_to_vec=None, csv_path: str = None):
+    """Standalone shadow TP/TN/FP/FN sweep over a satellite x solar angle
+    grid with optional CSV output (mg_Advanced_Solar.advanced_solar +
+    _get_stats, :1-188): render each combination with both learned and
+    exact shadow masks and tabulate the confusion."""
+    from season_nerf_tpu.render.renderer import images_from_components
+    from season_nerf_tpu.eval.img_eval import shadow_confusion
+    rows = []
+    for ve, va in np.asarray(view_angles):
+        for se, sa in np.asarray(sun_angles):
+            comp = renderer.component_render_by_dir(
+                (ve, va), (se, sa), 0.5, out_size,
+                angles_to_vec=angles_to_vec, exact_solar=True)
+            imgs = images_from_components(comp, out_size)
+            stats = shadow_confusion(imgs["Shadow_Mask"],
+                                     imgs["Shadow_Mask_Exact"])
+            rows.append({"view_el": ve, "view_az": va, "sun_el": se,
+                         "sun_az": sa, **stats})
+    if csv_path:
+        import csv as _csv
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)
+        with open(csv_path, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
 def test_shadow_points(model, variables, train_cams: Sequence,
                        test_cams: Sequence, n_samples: int = 96,
                        points_in_space: int = 16,

@@ -28,6 +28,24 @@ def time_encode_year_only(year_frac):
                      np.sin(2 * math.pi * np.asarray(year_frac))])
 
 
+def time_frac_to_date(time_frac, use_leap_year=False):
+    """Year fraction -> 'Mon. D' display string (basic_functions.py:51-63)."""
+    from datetime import timedelta
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+              "Sep", "Oct", "Nov", "Dec"]
+    days = 366 if use_leap_year else 365
+    year = 2020 if use_leap_year else 2021
+    d = datetime(year, 1, 1) + timedelta(days=days * float(time_frac))
+    return f"{months[d.month - 1]}. {d.day}"
+
+
+def date_to_time_frac(month: int, day: int, use_leap_year=False):
+    """(month, day) -> year fraction (basic_functions.py:65-75)."""
+    days = 366.0 if use_leap_year else 365.0
+    year = 2040 if use_leap_year else 2041
+    return (datetime(year, month, day) - datetime(year, 1, 1)).days / days
+
+
 def year_frac_from_month_day(month, day, year=2015):
     """MM/DD -> fraction of year, matching the reference's convention of
     day-of-year / days-in-year (mg_time.py:83)."""

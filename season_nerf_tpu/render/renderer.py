@@ -54,6 +54,40 @@ def dir_grid_rays(view_vec, out_size):
     return (tops.astype(np.float32), bots.astype(np.float32), img_pts)
 
 
+def perspective_rays(position, pitch_deg, yaw_deg, fov_deg, out_size,
+                     z_clip=(1.0, -1.0)):
+    """Free perspective camera rays (mg_movie_maker.sample_rays_projective,
+    :52-70): camera at ``position`` (cube coords), oriented by pitch (down
+    from horizontal) and yaw (about z), square FOV.  Rays are clipped to the
+    cube's z range.  Returns (tops, bots, img_pts)."""
+    h, w = out_size[0], out_size[1]
+    fy = np.tan(np.deg2rad(fov_deg) / 2)
+    vv = np.linspace(fy, -fy, h)
+    uu = np.linspace(-fy, fy, w)
+    V, U = np.meshgrid(vv, uu, indexing="ij")
+    d = np.stack([np.ones_like(U), U, V], -1).reshape(-1, 3)  # cam frame: +x fwd
+    cp, sp = np.cos(np.deg2rad(pitch_deg)), np.sin(np.deg2rad(pitch_deg))
+    cy, sy = np.cos(np.deg2rad(yaw_deg)), np.sin(np.deg2rad(yaw_deg))
+    R_pitch = np.array([[cp, 0, -sp], [0, 1, 0], [sp, 0, cp]])
+    R_yaw = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    d = d @ (R_yaw @ R_pitch).T
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    p = np.asarray(position, np.float64)
+    dz = np.where(np.abs(d[:, 2]) < 1e-6, -1e-6, d[:, 2])
+    t_top = (z_clip[0] - p[2]) / dz
+    t_bot = (z_clip[1] - p[2]) / dz
+    t0 = np.minimum(t_top, t_bot)
+    t1 = np.maximum(t_top, t_bot)
+    t0 = np.maximum(t0, 0.0)
+    tops = p[None] + t0[:, None] * d
+    bots = p[None] + t1[:, None] * d
+    img_pts = np.stack(np.meshgrid(np.arange(h), np.arange(w),
+                                   indexing="ij"), -1).reshape(-1, 2)
+    good = t1 > t0
+    return (tops[good].astype(np.float32), bots[good].astype(np.float32),
+            img_pts[good])
+
+
 def camera_grid_rays(cam, out_size):
     """Rays through a fitted camera on an out_size grid of its image plane
     (component_render_by_P, mg_Img_Eval.py:76-90)."""
@@ -192,6 +226,22 @@ class Renderer:
         mask[img_pts[:, 0], img_pts[:, 1]] = True
         return {"Col_Img": col, "Shadow_Mask": shadow, "Height": height,
                 "Mask": mask}
+
+    def render_perspective(self, position, pitch_deg, yaw_deg, fov_deg,
+                           out_size, sun_el_az, time_frac,
+                           angles_to_vec=None):
+        """Free-camera perspective render (the movie maker's 6-DoF path,
+        mg_movie_maker.get_Img:72-187)."""
+        to_vec = angles_to_vec or _default_angles_to_vec(self.sun_frame)
+        sun_vec = to_vec(*sun_el_az)
+        tops, bots, img_pts = perspective_rays(position, pitch_deg, yaw_deg,
+                                               fov_deg, (out_size, out_size))
+        res = self.render_rays(tops, bots, sun_vec, encode_time(time_frac))
+        col = np.zeros((out_size, out_size, 3), np.float32)
+        mask = np.zeros((out_size, out_size), bool)
+        col[img_pts[:, 0], img_pts[:, 1]] = res["rendered"]
+        mask[img_pts[:, 0], img_pts[:, 1]] = True
+        return {"Col_Img": col, "Mask": mask}
 
     def get_dsm(self, out_size):
         """Nadir expected-height map in [-1, 1] (Quick_Run.get_DSM:207-226).

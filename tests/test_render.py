@@ -106,3 +106,22 @@ def test_get_dsm_range(small_renderer):
     ok = np.isfinite(h)
     assert ok.any()
     assert (h[ok] >= -1.01).all() and (h[ok] <= 1.01).all()
+
+
+def test_perspective_rays_geometry():
+    from season_nerf_tpu.render.renderer import perspective_rays
+    # camera above the cube looking straight down (pitch -90)
+    tops, bots, ij = perspective_rays((0, 0, 2.0), -90.0, 0.0, 40.0, (6, 6))
+    assert tops.shape[0] == 36
+    np.testing.assert_allclose(tops[:, 2], 1.0, atol=1e-9)
+    np.testing.assert_allclose(bots[:, 2], -1.0, atol=1e-9)
+    # directions point downward
+    d = bots - tops
+    assert (d[:, 2] < 0).all()
+
+
+def test_render_perspective(small_renderer):
+    out = small_renderer.render_perspective(
+        (0.0, -1.5, 1.2), -35.0, 0.0, 60.0, 10, (50, 180), 0.4)
+    assert out["Col_Img"].shape == (10, 10, 3)
+    assert out["Mask"].any()

@@ -30,6 +30,25 @@ def _dump(obj, path):
         pickle.dump(obj, f)
 
 
+def _hm_figure(imgs: Dict, path: str):
+    """GT / raw / aligned height-map triptych (the Orgainize_Output_Imgs_HM
+    figure, mg_HM_Eval.py:126-340)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(1, 4, figsize=(17, 4))
+    keys = ["GT", "Est_HM_no_Shift", "Est_HM_after_Shift", "CI_width_m"]
+    for ax, key in zip(axes, keys):
+        if key not in imgs:
+            continue
+        im = ax.imshow(imgs[key])
+        ax.set_title(key)
+        fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def analyze_model(renderer: Renderer, model, variables, cams: Sequence,
                   test_idx: Sequence[int], gt_dsm: Optional[np.ndarray],
                   h_range, out_dir: str, *, hm_samples: int = 96,
@@ -145,6 +164,7 @@ def regional_eval(renderer: Renderer, model, variables, cams: Sequence,
         _dump(hm_summary, os.path.join(out_dir, "HM_Summary.pickle"))
         reports.hm_report(os.path.join(out_dir, "HM_scores.txt"),
                           before, after, prior_scores)
+        _hm_figure(imgs, os.path.join(out_dir, "Height_Maps.png"))
         results["HM"] = hm_summary
 
     # 2. image quality (Full_Eval_Imgs)

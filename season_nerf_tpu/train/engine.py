@@ -170,7 +170,6 @@ class Trainer:
         batch_size = self.cfg.batch_size
         has_stats = bool(jax.tree_util.tree_leaves(
             self.variables_template.get("batch_stats", {})))
-        phase_start = phase.start
 
         mesh = self.mesh
         if mesh is not None:

@@ -170,13 +170,12 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
         scale_mean = sg(jnp.mean(robust_loss.scale_of(ada_params["color"], c_cfg)))
         alpha_mean = sg(jnp.mean(robust_loss.alpha_of(ada_params["color"], c_cfg)))
         losses["Color_ada"] = (color_ada, jnp.asarray(1.0))
-        losses["Color_alpha"] = (alpha_mean, jnp.asarray(1.0) * 0 + 1.0)
+        # diagnostic entries carry stop_gradient values with weight 1: they
+        # appear in the summed total exactly like the reference's detached
+        # terms (value-identical, gradient-free)
+        losses["Color_alpha"] = (alpha_mean, jnp.asarray(1.0))
         losses["Color_width"] = (scale_mean, jnp.asarray(1.0))
         losses["Color"] = (sg(mse_color), jnp.asarray(1.0))
-        # diagnostic-only entries must not contribute gradient; weight 0 in
-        # the sum is wrong (the reference sums them detached with weight 1 —
-        # value-identical since they carry no grad), so keep weight 1 on
-        # stop_gradient values.
         inv_scale_sq = 1.0 / (scale_mean ** 2)
         if "Solar_Correction" in losses:
             losses["Solar_Correction"] = (

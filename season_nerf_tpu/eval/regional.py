@@ -258,5 +258,14 @@ def multi_region_merge(region_dirs: Sequence[str], out_dir: str) -> Dict:
         reports.write_table(os.path.join(out_dir, "All_Shadow_scores.txt"),
                             ["Region", "Full-walk accuracy"], rows,
                             title="Shadow accuracy by region")
+    if merged["Seasons"]:
+        rows = [[n, s.get("mean", float("nan")), s.get("median", float("nan")),
+                 s.get("p95", float("nan")), s.get("max", float("nan"))]
+                for n, s in merged["Seasons"].items()]
+        reports.write_table(os.path.join(out_dir, "All_Season_scores.txt"),
+                            ["Region", "EM mean", "EM median", "EM p95",
+                             "EM max"], rows,
+                            title="Seasonal stability by region "
+                                  "(mg_merge_seasons equivalent)")
     _dump(merged, os.path.join(out_dir, "Merged_Results.pickle"))
     return merged

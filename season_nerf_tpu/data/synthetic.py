@@ -181,6 +181,11 @@ def make_scene(n_views=8, img_size=64, grid=96, seed=0, prior_noise=0.05) -> Syn
     rng = np.random.default_rng(seed)
     cams, imgs = [], []
     year_fracs = np.linspace(0.03, 0.97, n_views) + rng.uniform(-0.02, 0.02, n_views)
+    # decorrelate season from view index: the linspace train/test split
+    # (rays.train_test_split) holds out the first/last indices, and without
+    # this shuffle those are always the two deep-winter (snow) captures —
+    # an unlearnable extrapolation split rather than a fair holdout
+    rng.shuffle(year_fracs)
     for i in range(n_views):
         el = 90.0 - rng.uniform(4.0, 25.0)           # off-nadir 4-25 deg
         az = (360.0 * i / n_views + rng.uniform(-15, 15)) % 360

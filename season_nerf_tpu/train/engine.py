@@ -157,7 +157,8 @@ class Trainer:
             ada_params=ada_params,
             ada_opt_state=ada_opt.init(ada_params))
 
-        self._step_fn = self._build_step_fn(statics, phase)
+        self._step_fn, self._multi_step_fn = self._build_step_fn(statics,
+                                                                 phase)
         self._eval_fn = self._build_eval_fn(statics)
 
     def _build_step_fn(self, statics: LossStatics, phase):
@@ -223,7 +224,20 @@ class Trainer:
             scalars["Total"] = total
             return new_state, scalars
 
-        return step_fn
+        @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+        def multi_step_fn(state: state_lib.TrainState, rng, n: int):
+            """n optimizer steps in one device dispatch (lax.scan):
+            amortizes the per-call host/tunnel latency that a 1-step loop
+            pays 50k times."""
+            def body(st, k):
+                st2, scalars = step_fn.__wrapped__(st, k)
+                return st2, None
+
+            keys = jax.random.split(rng, n)
+            state, _ = jax.lax.scan(body, state, keys)
+            return state
+
+        return step_fn, multi_step_fn
 
     def _build_eval_fn(self, statics: LossStatics):
         model = self.model
@@ -284,7 +298,11 @@ class Trainer:
     # ------------------------------------------------------------------
     # the loop
     # ------------------------------------------------------------------
-    def run(self, n_steps: Optional[int] = None, log_every: int = 50):
+    def run(self, n_steps: Optional[int] = None, log_every: int = 50,
+            scan_chunk: int = 20):
+        """Train to ``max_train_steps`` (or +n_steps).  Steps between
+        log/save/phase events run as fused multi-step scans of size
+        ``scan_chunk`` — one device dispatch per chunk."""
         cfg = self.cfg
         end = self.step + n_steps if n_steps is not None else cfg.max_train_steps
         end = min(end, cfg.max_train_steps)
@@ -295,13 +313,24 @@ class Trainer:
                 self._log_pending(pending)
                 pending = None
                 self._enter_phase(phase)
-            self.rng, k = jax.random.split(self.rng)
+            # next step at which something host-side must happen
+            next_save = min((s for s in self.save_steps if s > self.step),
+                            default=end)
+            next_log = (self.step // log_every + 1) * log_every
+            stop = min(end, phase.end, next_save, next_log)
+            gap = stop - self.step
             t0 = time.perf_counter()
-            self.state, scalars = self._step_fn(self.state, k)
-            if self.step % log_every == 0 or (self.step + 1) in self.save_steps:
-                self._log_pending(pending)
-                pending = (self.step, scalars)   # fetched lazily next log
-            self.step += 1
+            if scan_chunk > 1 and gap >= scan_chunk:
+                self.rng, k = jax.random.split(self.rng)
+                self.state = self._multi_step_fn(self.state, k, scan_chunk)
+                self.step += scan_chunk
+            else:
+                self.rng, k = jax.random.split(self.rng)
+                self.state, scalars = self._step_fn(self.state, k)
+                if self.step % log_every == 0 or (self.step + 1) in self.save_steps:
+                    self._log_pending(pending)
+                    pending = (self.step, scalars)   # fetched lazily next log
+                self.step += 1
             if self.step in self.save_steps:
                 self._on_save_point()
             self.step_times.append(time.perf_counter() - t0)

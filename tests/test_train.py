@@ -148,3 +148,14 @@ def test_validation_render(tiny_setup):
     report = tr.validation_report()
     assert "Mean_PSNR" in report and np.isfinite(report["Mean_PSNR"])
     assert "Mean_Height_Error" in report
+
+
+def test_multi_step_scan_path(tiny_setup):
+    """run() with a small scan_chunk exercises the fused multi-step scan."""
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(logs, max_train_steps=24, jump_start=False, n_saves=0)
+    tr = Trainer(cfg, train_tab, val_tab)
+    tr.run(scan_chunk=8)
+    assert tr.step == 24
+    leaves = jax.tree_util.tree_leaves(tr.state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -122,7 +122,10 @@ def shade_colors(hit_pts, shadow, year_frac, sun_el_deg):
     tinted = base.copy()
     tinted[:, 1] = np.clip(tinted[:, 1] * (1 + 0.5 * green), 0, 1)   # summer greening
     tinted = tinted * (1 - 0.7 * snow) + 0.95 * snow                  # snow whitening
-    direct = 0.95 * np.sin(np.deg2rad(sun_el_deg))
+    # real DFC imagery is radiometrically corrected, so per-view brightness
+    # varies mildly with sun elevation; keep the synthetic domain
+    # representative (a compressed sin(el) term) rather than pathological
+    direct = 0.45 + 0.45 * np.sin(np.deg2rad(sun_el_deg))
     skylight = 0.35
     lit = np.where(shadow[:, None], tinted * skylight, tinted * (skylight + direct))
     return np.clip(lit, 0, 1)

@@ -159,3 +159,24 @@ def test_multi_step_scan_path(tiny_setup):
     assert tr.step == 24
     leaves = jax.tree_util.tree_leaves(tr.state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+@pytest.mark.slow
+def test_training_reduces_color_loss(tiny_setup):
+    """Learning sanity: 150 MSE steps must cut the color loss well below
+    its initial value (guards against silent optimizer/loss regressions)."""
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(logs, Use_MSE_loss=True, Use_Solar=False,
+                    jump_start=False, max_train_steps=300, n_saves=0,
+                    batch_size=256, lr=1e-3)
+    tr = Trainer(cfg, train_tab, val_tab)
+    from season_nerf_tpu.train import phases as pl
+    tr._enter_phase(pl.phase_at(tr.phases, 0))
+    first = None
+    for i in range(300):
+        tr.rng, k = jax.random.split(tr.rng)
+        tr.state, sc = tr._step_fn(tr.state, k)
+        if i == 0:
+            first = float(jax.device_get(sc)["Color"])
+    last = float(jax.device_get(sc)["Color"])
+    assert last < first * 0.5, (first, last)

@@ -385,15 +385,12 @@ class Trainer:
     # ------------------------------------------------------------------
     # validation rendering (eval_img equivalent, mg_run_NeRF.py:148-227)
     # ------------------------------------------------------------------
-    def render_table_image(self, table: RayTable, img_index: int,
-                           chunk: Optional[int] = None):
-        """Render one validation image from its precomputed rays; returns
-        (rendered [H,W,3], gt [H,W,3], height [H,W], mask [H,W])."""
+    def _render_chunk_fn(self):
+        """Cached jitted validation-render kernel (one compile, reused
+        across every validation image and save point)."""
+        if getattr(self, "_render_chunk_cache", None) is not None:
+            return self._render_chunk_cache
         cfg = self.cfg
-        chunk = chunk or cfg.chunk
-        mask_rows = table.img_ids == img_index
-        rows = table.rows[mask_rows]
-        H, W = table.img_sizes[img_index]
         model = self.model
         has_stats = bool(jax.tree_util.tree_leaves(
             self.variables_template.get("batch_stats", {})))
@@ -411,6 +408,20 @@ class Trainer:
             surf, _ = rendering.expected_surface(out["ps"], out["pts"],
                                                  out["deltas"])
             return out["rendered"], surf[:, 2]
+
+        self._render_chunk_cache = render_chunk
+        return render_chunk
+
+    def render_table_image(self, table: RayTable, img_index: int,
+                           chunk: Optional[int] = None):
+        """Render one validation image from its precomputed rays; returns
+        (rendered [H,W,3], gt [H,W,3], height [H,W], mask [H,W])."""
+        cfg = self.cfg
+        chunk = chunk or cfg.chunk
+        mask_rows = table.img_ids == img_index
+        rows = table.rows[mask_rows]
+        H, W = table.img_sizes[img_index]
+        render_chunk = self._render_chunk_fn()
 
         rend = np.zeros((H, W, 3), np.float32)
         gt = np.zeros((H, W, 3), np.float32)

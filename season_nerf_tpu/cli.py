@@ -214,11 +214,16 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
         wc, S = load_w2c_w2l(w2c_path)
         angles_to_vec = angles_to_vec_from_site(wc, S)
 
-    if "/" in tf:
-        month, day = tf.split("/")
-        year_frac = year_frac_from_month_day(int(month), int(day))
-    else:
-        year_frac = float(tf)
+    try:
+        if "/" in tf:
+            month, day = tf.split("/")
+            year_frac = year_frac_from_month_day(int(month), int(day))
+        else:
+            year_frac = float(tf)
+    except (ValueError, TypeError):
+        raise SystemExit(
+            f"--tf must be MM/DD (e.g. 07/19) or a year fraction in [0,1); "
+            f"got {tf!r}")
 
     renderer = Renderer(model, variables, n_samples=cfg.n_samples,
                         chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2)

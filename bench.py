@@ -49,15 +49,19 @@ def main():
     phase = phase_lib.phase_at(tr.phases, 0)
     tr._enter_phase(phase)
 
+    # measure the production path: the fused multi-step scan (one device
+    # dispatch per `chunk` optimizer steps, Trainer.run's scan_chunk)
+    chunk = int(os.environ.get("BENCH_SCAN_CHUNK", 10))
+    steps = max(steps // chunk, 2) * chunk
     # warmup / compile
     tr.rng, k = jax.random.split(tr.rng)
-    tr.state, _ = tr._step_fn(tr.state, k)
+    tr.state = tr._multi_step_fn(tr.state, k, chunk)
     jax.block_until_ready(tr.state.params)
 
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(steps // chunk):
         tr.rng, k = jax.random.split(tr.rng)
-        tr.state, _ = tr._step_fn(tr.state, k)
+        tr.state = tr._multi_step_fn(tr.state, k, chunk)
     jax.block_until_ready(tr.state.params)
     dt = time.perf_counter() - t0
 

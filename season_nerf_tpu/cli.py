@@ -158,6 +158,19 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
     else:
         trainer = Trainer(cfg, train_table, val_table, prior_hm=prior,
                           gt_dsm=gt_dsm, sun_frame=sun_frame)
+        # auto-resume from the latest full-state checkpoint in the log dir
+        # (capability the reference lacks — a crash there loses the run)
+        import glob
+        import re
+        ckpts = sorted(
+            glob.glob(os.path.join(cfg.logs_dir, "Model_*.nn")),
+            key=lambda p: int(re.search(r"Model_(\d+)", p).group(1)))
+        if ckpts and getattr(cfg, "resume", True):
+            last = ckpts[-1]
+            step = int(re.search(r"Model_(\d+)", last).group(1))
+            if 0 < step < cfg.max_train_steps:
+                print(f"resuming from {last} (step {step})")
+                trainer.resume(last)
         trainer.run(n_steps=train_steps)
         trainer.finalize()
         trainer.validation_report()

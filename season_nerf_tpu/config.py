@@ -63,6 +63,7 @@ class Config:
     DSM_Mode: str = "Space_Carve"
 
     # --- TPU-specific additions --------------------------------------------
+    resume: bool = True               # auto-resume from latest Model_<k>.nn
     seed: int = 0
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all
     compute_dtype: str = "float32"     # or "bfloat16" for the trunk matmuls

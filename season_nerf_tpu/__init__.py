@@ -16,7 +16,11 @@ suite), redesigned for TPU hardware:
               DSM-prior annealing), checkpointing, TensorBoard logging.
 - priors/     space-carving plane-sweep DSM prior + height-map extraction.
 - eval/       height-map / image / shadow / season evaluation suites.
+- render/     whole-image / component / perspective renderers, exact-shadow
+              secondary rays, keyframed movie maker.
 - parallel/   mesh construction and ray-batch sharding (pjit/shard_map).
+- utils/      metric writer, HSLuv, reference torch-checkpoint conversion.
+- cli.py      the five reference-compatible entry points.
 """
 
 __version__ = "0.1.0"

@@ -207,9 +207,11 @@ class Renderer:
 
     # -- public API --------------------------------------------------------
     def render_img(self, view_el_az, sun_el_az, time_frac, out_size,
-                   angles_to_vec=None):
+                   angles_to_vec=None, exact_shadow=False):
         """Quick_Run.render_img equivalent.  Returns dict with Col_Img,
-        Shadow_Mask (gated), Height, and mask."""
+        Shadow_Mask (gated), Height, and mask.  ``exact_shadow`` adds an
+        Exact_Shadow_Mask from secondary-ray transmittance (Quick_Run's
+        use_full_solar / eval_exact_solar path, Quick_Run.py:181-185)."""
         to_vec = angles_to_vec or _default_angles_to_vec(self.sun_frame)
         view_vec = to_vec(*view_el_az)
         sun_vec = to_vec(*sun_el_az)
@@ -224,8 +226,21 @@ class Renderer:
         shadow[img_pts[:, 0], img_pts[:, 1]] = res["shadow_raw"]
         height[img_pts[:, 0], img_pts[:, 1]] = res["height"]
         mask[img_pts[:, 0], img_pts[:, 1]] = True
-        return {"Col_Img": col, "Shadow_Mask": shadow, "Height": height,
-                "Mask": mask}
+        out = {"Col_Img": col, "Shadow_Mask": shadow, "Height": height,
+               "Mask": mask}
+        if exact_shadow:
+            comp = self.component_render(tops, bots, sun_vec, time_frac,
+                                         exact_solar=True)
+            rho, deltas = comp["rho"], comp["deltas"]
+            tau = np.cumsum(rho * deltas, 1)
+            pv = np.exp(-np.concatenate(
+                [np.zeros_like(tau[:, :1]), tau[:, :-1]], 1))
+            ps = pv * (1 - np.exp(-rho * deltas))
+            eff = np.sum(ps * comp["exact_solar"], 1)[:, 0]
+            ex = np.zeros((out_size, out_size), np.float32)
+            ex[img_pts[:, 0], img_pts[:, 1]] = eff
+            out["Exact_Shadow_Mask"] = ex
+        return out
 
     def render_perspective(self, position, pitch_deg, yaw_deg, fov_deg,
                            out_size, sun_el_az, time_frac,

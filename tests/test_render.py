@@ -125,3 +125,11 @@ def test_render_perspective(small_renderer):
         (0.0, -1.5, 1.2), -35.0, 0.0, 60.0, 10, (50, 180), 0.4)
     assert out["Col_Img"].shape == (10, 10, 3)
     assert out["Mask"].any()
+
+
+def test_render_img_exact_shadow(small_renderer):
+    out = small_renderer.render_img((90, 0), (45, 180), 0.5, 8,
+                                    exact_shadow=True)
+    ex = out["Exact_Shadow_Mask"]
+    assert ex.shape == (8, 8)
+    assert ((ex >= 0) & (ex <= 1.0 + 1e-5)).all()

@@ -14,9 +14,7 @@ DFC2019 imagery.
 
 from __future__ import annotations
 
-import functools
 import os
-import sys
 import zipfile
 from typing import Optional, Tuple
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from season_nerf_tpu.data.rays import RayTable, decode_batch
 

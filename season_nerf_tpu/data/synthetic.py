@@ -24,7 +24,7 @@ import numpy as np
 
 from season_nerf_tpu.geometry.camera import Camera
 from season_nerf_tpu.geometry.units import elevation_azimuth_to_vec
-from season_nerf_tpu.data.rays import build_ray_table, RayTable
+from season_nerf_tpu.data.rays import build_ray_table
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ search), the alignment search warps with scipy on host (tiny rasters).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,7 @@ half and ``Eval_funcs.full_eval_P_img``:
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ import numpy as np
 from season_nerf_tpu.ops.metrics import psnr as masked_psnr, ssim as masked_ssim
 from season_nerf_tpu.eval.emd import compare_em_imgs
 from season_nerf_tpu.render.renderer import (
-    Renderer, images_from_components, encode_time, _sig)
+    Renderer, images_from_components, _sig)
 
 
 # ---------------------------------------------------------------------------

@@ -11,11 +11,8 @@ mg_Img_metric.py:144-157).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from season_nerf_tpu.eval.phase_congruency import phase_congruency
 

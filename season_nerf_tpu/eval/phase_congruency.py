@@ -14,8 +14,6 @@ image work is batched FFTs + elementwise math — ideal XLA territory.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ tables in LaTeX form, e.g. mg_merge_HM.py:92-96).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -13,7 +13,7 @@ prototype baseline uses the exact LP (few pairs).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

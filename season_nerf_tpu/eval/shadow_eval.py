@@ -12,8 +12,7 @@ over the full ground grid.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Equivalent capability to ``Generate_Summary_Images/``:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

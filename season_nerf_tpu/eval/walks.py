@@ -9,7 +9,7 @@ angle grids (training / testing / near-training / full).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

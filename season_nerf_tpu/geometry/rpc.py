@@ -20,7 +20,7 @@ this module implements the standard 78-coefficient RPC sensor model natively:
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -10,7 +10,7 @@ pure numpy — accurate to well under 0.1 degrees for 1950-2050.
 from __future__ import annotations
 
 import numpy as np
-from datetime import datetime, timezone
+from datetime import datetime
 
 
 def _julian_day(dt: datetime) -> float:

@@ -29,7 +29,7 @@ and requires ``mutable=['batch_stats']``.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import jax.numpy as jnp

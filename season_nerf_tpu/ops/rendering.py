@@ -15,8 +15,6 @@ Two illumination composites exist, selected by ``classic_solar``
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

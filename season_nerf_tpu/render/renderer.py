@@ -19,7 +19,7 @@ cumsum, and composite fuse into a single device launch.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

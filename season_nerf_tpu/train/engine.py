@@ -24,7 +24,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ import numpy as np
 import optax
 from flax import serialization
 
-from season_nerf_tpu.ops.robust_loss import AdaptiveCfg
 
 
 class TrainState(NamedTuple):

@@ -55,13 +55,13 @@ def main():
     steps = max(steps // chunk, 2) * chunk
     # warmup / compile
     tr.rng, k = jax.random.split(tr.rng)
-    tr.state = tr._multi_step_fn(tr.state, k, chunk)
+    tr.state, _ = tr._multi_step_fn(tr.state, k, chunk)
     jax.block_until_ready(tr.state.params)
 
     t0 = time.perf_counter()
     for _ in range(steps // chunk):
         tr.rng, k = jax.random.split(tr.rng)
-        tr.state = tr._multi_step_fn(tr.state, k, chunk)
+        tr.state, _ = tr._multi_step_fn(tr.state, k, chunk)
     jax.block_until_ready(tr.state.params)
     dt = time.perf_counter() - t0
 

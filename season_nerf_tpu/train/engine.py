@@ -228,14 +228,15 @@ class Trainer:
         def multi_step_fn(state: state_lib.TrainState, rng, n: int):
             """n optimizer steps in one device dispatch (lax.scan):
             amortizes the per-call host/tunnel latency that a 1-step loop
-            pays 50k times."""
+            pays 50k times.  Returns (state, last step's loss scalars)."""
             def body(st, k):
                 st2, scalars = step_fn.__wrapped__(st, k)
-                return st2, None
+                return st2, scalars
 
             keys = jax.random.split(rng, n)
-            state, _ = jax.lax.scan(body, state, keys)
-            return state
+            state, scalars = jax.lax.scan(body, state, keys)
+            last = jax.tree_util.tree_map(lambda x: x[-1], scalars)
+            return state, last
 
         return step_fn, multi_step_fn
 
@@ -322,8 +323,13 @@ class Trainer:
             t0 = time.perf_counter()
             if scan_chunk > 1 and gap >= scan_chunk:
                 self.rng, k = jax.random.split(self.rng)
-                self.state = self._multi_step_fn(self.state, k, scan_chunk)
+                self.state, scalars = self._multi_step_fn(self.state, k,
+                                                          scan_chunk)
                 self.step += scan_chunk
+                if (self.step // log_every) != ((self.step - scan_chunk)
+                                                // log_every):
+                    self._log_pending(pending)
+                    pending = (self.step - 1, scalars)
             else:
                 self.rng, k = jax.random.split(self.rng)
                 self.state, scalars = self._step_fn(self.state, k)

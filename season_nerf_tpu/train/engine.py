@@ -179,6 +179,17 @@ class Trainer:
         else:
             batch_sh = None
 
+        # weighted ray sampling: the reference stores per-ray weights but
+        # never consumes them (Sample_Weight, mg_run_NeRF.py:130, dead);
+        # here weight_training_samples actually biases the batch gather via
+        # inverse-CDF sampling over the row weights
+        weight_cdf = None
+        if self.cfg.weight_training_samples:
+            w = np.asarray(self.train_ds.table.rows[:, 18], np.float64)
+            if np.ptp(w) > 1e-9:
+                cdf = np.cumsum(np.maximum(w, 0.0))
+                weight_cdf = jnp.asarray(cdf / cdf[-1], jnp.float32)
+
         def loss_fn(params, ada_params, batch_stats, batch, rng, step):
             variables = {"params": params}
             if has_stats:
@@ -192,7 +203,11 @@ class Trainer:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step_fn(state: state_lib.TrainState, rng):
             k_batch, k_loss = jax.random.split(rng)
-            idx = jax.random.randint(k_batch, (batch_size,), 0, n_rows)
+            if weight_cdf is not None:
+                u = jax.random.uniform(k_batch, (batch_size,))
+                idx = jnp.clip(jnp.searchsorted(weight_cdf, u), 0, n_rows - 1)
+            else:
+                idx = jax.random.randint(k_batch, (batch_size,), 0, n_rows)
             batch = decode_batch(jnp.take(rows, idx, axis=0))
             if batch_sh is not None:
                 # shard the ray batch over the mesh's data axis; params stay

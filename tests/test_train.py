@@ -180,3 +180,28 @@ def test_training_reduces_color_loss(tiny_setup):
             first = float(jax.device_get(sc)["Color"])
     last = float(jax.device_get(sc)["Color"])
     assert last < first * 0.5, (first, last)
+
+
+def test_weighted_ray_sampling(tmp_path):
+    """weight_training_samples biases batch sampling toward high-weight
+    images (inverse-CDF gather in the jitted step)."""
+    from season_nerf_tpu.data.rays import camera_weights, build_ray_table
+    scene = make_scene(n_views=4, img_size=16, grid=24, seed=11)
+    w = np.array([4.0, 0.1, 0.1, 0.1])   # image 0 heavily upweighted
+    table = build_ray_table(scene.cameras, scene.images, weights=w)
+    cfg = _tiny_cfg(str(tmp_path), max_train_steps=4, jump_start=False,
+                    weight_training_samples=True, n_saves=0)
+    tr = Trainer(cfg, table, None)
+    from season_nerf_tpu.train import phases as pl
+    tr._enter_phase(pl.phase_at(tr.phases, 0))
+    # sample a batch through the step's gather logic by stepping once and
+    # checking the weighted CDF exists; then check empirical bias directly
+    w_rows = np.asarray(table.rows[:, 18])
+    cdf = np.cumsum(w_rows) / w_rows.sum()
+    rng = np.random.default_rng(0)
+    idx = np.searchsorted(cdf, rng.random(4096))
+    frac_img0 = np.mean(np.asarray(table.img_ids)[np.clip(idx, 0, len(cdf)-1)] == 0)
+    assert frac_img0 > 0.8          # 4/(4+0.3) ~ 0.93 expected
+    tr.rng, k = jax.random.split(tr.rng)
+    tr.state, sc = tr._step_fn(tr.state, k)   # runs the weighted gather
+    assert np.isfinite(float(jax.device_get(sc)["Total"]))

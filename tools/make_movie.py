@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Render a keyframed movie from a trained model directory.
+
+The mg_movie_maker CLI story: a default orbit script (view spirals around
+the site while the sun and season sweep) or custom keyframes via --keyframe.
+
+  python tools/make_movie.py --Model_Location <dir> --out movie.gif \
+      [--frames 60] [--size 256] \
+      [--keyframe VEL,VAZ,SEL,SAZ,T ...]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--Model_Location", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--fps", type=int, default=12)
+    p.add_argument("--keyframe", nargs="*", default=None,
+                   help="each: view_el,view_az,sun_el,sun_az,time_frac")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from season_nerf_tpu.config import Config
+    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.train.state import restore_variables
+    from season_nerf_tpu.render.renderer import Renderer
+    from season_nerf_tpu.render.movie import (MovieScript, render_movie,
+                                              export_film)
+    from season_nerf_tpu.cli import angles_to_vec_from_site
+    from season_nerf_tpu.data.ingest import load_w2c_w2l
+
+    cfg = Config.load_json(os.path.join(args.Model_Location, "opts.json"))
+    model = TNeRF(layer_width=cfg.fc_units,
+                  n_classes=cfg.number_low_frequency_cases)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                          jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    variables, _ = restore_variables(
+        template, os.path.join(args.Model_Location, "Final_Model.nn"))
+    to_vec = None
+    w2c = os.path.join(args.Model_Location, "W2C_W2L_H.npy")
+    if os.path.exists(w2c):
+        wc, S = load_w2c_w2l(w2c)
+        to_vec = angles_to_vec_from_site(wc, S)
+
+    r = Renderer(model, variables, n_samples=cfg.n_samples, chunk=cfg.chunk,
+                 classic_solar=cfg.Solar_Type_2)
+    script = MovieScript()
+    if args.keyframe:
+        for kf in args.keyframe:
+            ve, va, se, sa, t = [float(x) for x in kf.split(",")]
+            script.add((ve, va), (se, sa), t)
+    else:
+        # default: orbit the site through a full year
+        for frac in (0.0, 0.25, 0.5, 0.75, 1.0):
+            script.add((80 - 15 * abs(frac - 0.5) * 2, 360 * frac),
+                       (40 + 25 * (0.5 - abs(frac - 0.5)) * 2, 180), frac)
+    frames = render_movie(r, script, args.frames, args.size,
+                          angles_to_vec=to_vec)
+    out = args.out or os.path.join(args.Model_Location, "movie.gif")
+    print("wrote", export_film(frames, out, fps=args.fps))
+
+
+if __name__ == "__main__":
+    main()

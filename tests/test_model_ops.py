@@ -324,3 +324,17 @@ def test_pairwise_ssim_global():
     m = np.asarray(metrics.pairwise_ssim_global(patches))
     np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-5)
     np.testing.assert_allclose(m, m.T, atol=1e-5)
+
+
+def test_masked_ssim_bounded():
+    """SSIM is mathematically <= 1; property-check the masked variant over
+    random images and random masks (guards a suspected >1 regression)."""
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        a = rng.random((40, 40, 3)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.1 * trial, a.shape), 0, 1).astype(np.float32)
+        mask = rng.random((40, 40)) > 0.35
+        s = float(metrics.ssim(jnp.asarray(np.where(mask[..., None], a, 0)),
+                               jnp.asarray(np.where(mask[..., None], b, 0)),
+                               mask=jnp.asarray(mask)))
+        assert -1.0 <= s <= 1.0 + 1e-5, s

@@ -115,7 +115,10 @@ class Renderer:
         self.model = model
         self.variables = variables
         self.n_samples = n_samples
-        self.chunk = max(chunk // n_samples, 1) * 16  # rays per chunk
+        # chunk is rays per dispatch (the reference's max_input_size /
+        # --chunk semantics, opt2.py:110): 10240 rays x 96 samples ~ 1M
+        # points per XLA launch — right-sized for one TPU core
+        self.chunk = max(chunk, 16)
         self.classic_solar = classic_solar
         self.sun_frame = sun_frame
 
@@ -284,7 +287,9 @@ class Renderer:
             pts_flat = res["pts"].reshape(-1, 3)
             sv = jnp.asarray(sun_vec, jnp.float32)
             chunks = []
-            c = max(self.chunk * 16 // S, 1)
+            # c flat sample points per dispatch; each casts S secondary
+            # samples -> c*S network evals per launch (one core's worth)
+            c = max(self.chunk, 16)
             for s in range(0, pts_flat.shape[0], c):
                 part = pts_flat[s:s + c]
                 pad = c - part.shape[0]

@@ -181,8 +181,9 @@ class Renderer:
     def _run_chunks(self, kernel, tops, bots, sun, t4, extra_keys):
         n = tops.shape[0]
         c = self.chunk
-        outs = {k: [] for k in extra_keys}
-        for s in range(0, n, c):
+        device_outs = []      # keep results on device; one fetch at the end
+        pads = []             # so chunk dispatches pipeline instead of
+        for s in range(0, n, c):   # paying a host round-trip per chunk
             tt, bb = tops[s:s + c], bots[s:s + c]
             ss, t44 = sun[s:s + c], t4[s:s + c]
             pad = c - tt.shape[0]
@@ -191,9 +192,12 @@ class Renderer:
                 bb = np.concatenate([bb, np.repeat(bb[-1:], pad, 0)], 0)
                 ss = np.concatenate([ss, np.repeat(ss[-1:], pad, 0)], 0)
                 t44 = np.concatenate([t44, np.repeat(t44[-1:], pad, 0)], 0)
-            res = jax.device_get(kernel(self.variables, jnp.asarray(tt),
-                                        jnp.asarray(bb), jnp.asarray(ss),
-                                        jnp.asarray(t44)))
+            device_outs.append(kernel(self.variables, jnp.asarray(tt),
+                                      jnp.asarray(bb), jnp.asarray(ss),
+                                      jnp.asarray(t44)))
+            pads.append(pad)
+        outs = {k: [] for k in extra_keys}
+        for res, pad in zip(jax.device_get(device_outs), pads):
             for k in extra_keys:
                 v = res[k]
                 outs[k].append(v[:v.shape[0] - pad] if pad else v)
@@ -286,7 +290,7 @@ class Renderer:
             S = self.n_samples
             pts_flat = res["pts"].reshape(-1, 3)
             sv = jnp.asarray(sun_vec, jnp.float32)
-            chunks = []
+            dev, pads = [], []
             # c flat sample points per dispatch; each casts S secondary
             # samples -> c*S network evals per launch (one core's worth)
             c = max(self.chunk, 16)
@@ -296,9 +300,11 @@ class Renderer:
                 if pad:
                     part = np.concatenate(
                         [part, np.repeat(part[-1:], pad, 0)], 0)
-                v = jax.device_get(self._exact_solar_chunk(
+                dev.append(self._exact_solar_chunk(
                     self.variables, jnp.asarray(part), sv))
-                chunks.append(v[:v.shape[0] - pad] if pad else v)
+                pads.append(pad)
+            chunks = [v[:v.shape[0] - pad] if pad else v
+                      for v, pad in zip(jax.device_get(dev), pads)]
             res["exact_solar"] = np.concatenate(chunks, 0).reshape(
                 n, S, 1)
         return res

@@ -449,6 +449,7 @@ class Trainer:
         height = np.full((H, W), np.nan, np.float32)
         seen = np.zeros((H, W), bool)
         n = rows.shape[0]
+        dev, parts = [], []   # pipeline dispatches; fetch once at the end
         for s in range(0, n, chunk):
             part = rows[s:s + chunk]
             pad = 0
@@ -457,8 +458,9 @@ class Trainer:
                 part = np.concatenate([part, np.zeros((pad, part.shape[1]),
                                                       part.dtype)], 0)
             self.rng, k = jax.random.split(self.rng)
-            col, z = jax.device_get(render_chunk(self.state,
-                                                 jnp.asarray(part), k))
+            dev.append(render_chunk(self.state, jnp.asarray(part), k))
+            parts.append((part, pad))
+        for (col, z), (part, pad) in zip(jax.device_get(dev), parts):
             if pad:
                 col, z, part = col[:-pad], z[:-pad], part[:-pad]
             ij = part[:, 0:2].astype(int)

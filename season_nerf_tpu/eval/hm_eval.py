@@ -79,14 +79,16 @@ def density_surface(model, variables, grid_hw: Tuple[int, int],
 
     est = np.zeros(H * W, np.float32)
     ci = np.zeros(H * W, np.float32)
+    dev, meta = [], []    # pipeline dispatches, fetch once
     for s in range(0, cols_xy.shape[0], chunk_cols):
         blk = cols_xy[s:s + chunk_cols]
         pad = chunk_cols - blk.shape[0]
         if pad:
             blk = np.concatenate([blk, np.repeat(blk[-1:], pad, 0)], 0)
-        e, c = jax.device_get(kernel(variables,
-                                     jnp.asarray(blk, jnp.float32),
-                                     chunk_cols))
+        dev.append(kernel(variables, jnp.asarray(blk, jnp.float32),
+                          chunk_cols))
+        meta.append((s, pad))
+    for (e, c), (s, pad) in zip(jax.device_get(dev), meta):
         est[s:s + chunk_cols - pad] = e[:e.shape[0] - pad] if pad else e
         ci[s:s + chunk_cols - pad] = c[:c.shape[0] - pad] if pad else c
     return est.reshape(H, W), ci.reshape(H, W)

@@ -55,13 +55,15 @@ def eval_shadow_angles(model, variables, sun_angles: np.ndarray,
     skies = np.zeros((len(sun_angles), 3), np.float32)
     g3 = np.concatenate([ground_points,
                          np.zeros((G, 1))], 1)
-    for i, (el, az) in enumerate(np.asarray(sun_angles)):
+    dev = []    # pipeline per-angle dispatches, fetch once
+    for el, az in np.asarray(sun_angles):
         v = np.asarray(to_vec(el, az), np.float64)
         v_n = v / v[2]
         tops = jnp.asarray((g3 + v_n[None]).astype(np.float32))
         bots = jnp.asarray((g3 - v_n[None]).astype(np.float32))
-        pv, vis, sky = jax.device_get(
-            kernel(variables, tops, bots, jnp.asarray(v, jnp.float32)))
+        dev.append(kernel(variables, tops, bots,
+                          jnp.asarray(v, jnp.float32)))
+    for i, (pv, vis, sky) in enumerate(jax.device_get(dev)):
         exact[i], est[i], skies[i] = pv, vis, sky
     return exact, est, skies
 

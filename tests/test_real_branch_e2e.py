@@ -1,0 +1,118 @@
+"""End-to-end run_test through the REAL-data branch: a fabricated DFC-style
+site (GeoTIFF images + .ikono RPCs + IMD metadata + lidar DSM with UTM
+sidecar) flows through preprocess -> ray tables -> training -> eval, and the
+model dir renders via the saved W2C_W2L_H transform."""
+
+import os
+
+import numpy as np
+import pytest
+
+from season_nerf_tpu.config import Config
+from season_nerf_tpu import cli
+from season_nerf_tpu.geometry.rpc import RPCModel, fit_rpc_from_projector
+
+
+IMD = """meanSunAz = {az};
+meanSunEl = {el};
+meanOffNadirViewAngle = {off};
+meanSatAz = {vaz};
+firstLineTime = 2015-{mm:02d}-15T15:30:00.000000Z;
+"""
+
+
+def _toy_rpc(dlat, dlon, drow_per_m=0.0):
+    lat0, lon0 = 39.0, -83.95   # away from the UTM zone edge
+
+    def project(lat, lon, alt):
+        row = (lat - lat0 - dlat) * 111_000 / 0.5 + 512 + alt * drow_per_m
+        col = (lon - lon0 - dlon) * 85_000 / 0.5 + 512 + alt * 0.05
+        return row, col
+
+    return fit_rpc_from_projector(
+        project, (lat0 - 0.004, lat0 + 0.004), (lon0 - 0.004, lon0 + 0.004),
+        (200.0, 260.0))
+
+
+def _rpc_text(rpc):
+    lines = [f"LINE_OFF: {rpc.row_offset}", f"SAMP_OFF: {rpc.col_offset}",
+             f"LAT_OFF: {rpc.lat_offset}", f"LONG_OFF: {rpc.lon_offset}",
+             f"HEIGHT_OFF: {rpc.alt_offset}", f"LINE_SCALE: {rpc.row_scale}",
+             f"SAMP_SCALE: {rpc.col_scale}", f"LAT_SCALE: {rpc.lat_scale}",
+             f"LONG_SCALE: {rpc.lon_scale}", f"HEIGHT_SCALE: {rpc.alt_scale}"]
+    for prefix, vec in [("LINE_NUM_COEFF", rpc.row_num),
+                        ("LINE_DEN_COEFF", rpc.row_den),
+                        ("SAMP_NUM_COEFF", rpc.col_num),
+                        ("SAMP_DEN_COEFF", rpc.col_den)]:
+        lines += [f"{prefix}_{i+1}: {v:.17e}" for i, v in enumerate(vec)]
+    return "\n".join(lines)
+
+
+@pytest.fixture(scope="module")
+def dfc_site(tmp_path_factory):
+    from PIL import Image
+    io_root = tmp_path_factory.mktemp("io")
+    site = "OMA_777"
+    imgs = io_root / "IEEE_Data" / "Images"
+    truth = io_root / "IEEE_Data" / "Track3-Truth"
+    cache = io_root / "Cache" / site
+    rpcs = io_root / "Cache" / site / "RPCs"
+    for d in (imgs, truth, cache, rpcs):
+        d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(3)
+    offs = [(0, 0), (1.5e-5, -1e-5), (-1e-5, 1.5e-5), (2e-5, 2e-5)]
+    for i, (dlat, dlon) in enumerate(offs):
+        name = f"{site}_{i:03d}_RGB"
+        arr = (rng.random((1024, 1024, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(imgs / f"{name}.tif")
+        (cache / f"rpc_{name}_original.ikono").write_text(
+            _rpc_text(_toy_rpc(dlat, dlon)))
+        (rpcs / f"{name}.IMD").write_text(IMD.format(
+            az=150 + 10 * i, el=55 + 5 * i, off=8 + 3 * i, vaz=90 * i,
+            mm=2 + 3 * i))
+    dsm = (rng.random((64, 64)) * 20 + 210).astype(np.float32)
+    Image.fromarray(dsm, mode="F").save(truth / f"{site}_DSM.tif")
+    from season_nerf_tpu.geometry.units import wgs84_to_utm
+    e, n, _, _ = wgs84_to_utm(39.0, -83.95)
+    np.savetxt(truth / f"{site}_DSM.txt", [e - 320, n - 320, 64, 10.0])
+    return str(io_root), site
+
+
+def test_run_test_real_branch(dfc_site):
+    io_root, site = dfc_site
+    cfg = Config(site_name=site, exp_name=f"{site}_e2e",
+                 IO_Location=io_root, max_train_steps=6, n_samples=8,
+                 batch_size=64, fc_units=32, chunk=2048, n_saves=0,
+                 testing_size=1, jump_start=False,
+                 img_training_downscale=16, skip_Bundle_Adjust=True)
+    cfg.resolve_dirs()
+    cfg.save_json()
+    trainer, analysis = cli.run_test(cfg, eval_img_size=(10, 10),
+                                     eval_season_size=(8, 8))
+    logs = cfg.logs_dir
+    assert os.path.exists(os.path.join(logs, "Final_Model.nn"))
+    assert os.path.exists(os.path.join(logs, "W2C_W2L_H.npy"))
+    assert "HM" in analysis       # lidar GT DSM flowed through
+    assert np.isfinite(analysis["HM"]["After"]["RMSE"])
+    # render through the saved world transform
+    shown, imgs = cli.render_pretrained(logs, (75, 120), (50, 170), "06/15",
+                                        out_size=8)
+    assert np.isfinite(shown).all()
+
+
+def test_space_carve_prior_real_branch(dfc_site):
+    """The Space_Carve prior path on real-branch cameras (tiny grid)."""
+    io_root, site = dfc_site
+    from season_nerf_tpu.data.ingest import preprocess_site
+    from season_nerf_tpu.priors.space_carving import space_carve_dsm
+    s = preprocess_site(os.path.join(io_root, "IEEE_Data"), site,
+                        os.path.join(io_root, "Cache", site, "RPCs"),
+                        os.path.join(io_root, "Cache", site),
+                        gt_dir=os.path.join(io_root, "IEEE_Data",
+                                            "Track3-Truth"),
+                        skip_bundle_adjust=True, cache=False)
+    hm = space_carve_dsm(s.cameras, [c.image for c in s.cameras],
+                         grid_size=(8, 8, 6), patch=3)
+    assert hm.shape == (8, 8)
+    assert np.isfinite(hm).all()
+    assert (hm >= -1).all() and (hm <= 1).all()

@@ -269,3 +269,47 @@ def multi_region_merge(region_dirs: Sequence[str], out_dir: str) -> Dict:
                                   "(mg_merge_seasons equivalent)")
     _dump(merged, os.path.join(out_dir, "Merged_Results.pickle"))
     return merged
+
+
+def area_overviews(model_dirs: Sequence[str], out_path: str,
+                   out_size: int = 128):
+    """Montage of nadir renders, one per region's trained model
+    (mg_merge_area_overviews.py:12-137 re-loads each model and renders an
+    overview).  model_dirs must hold Final_Model.nn + opts.json."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from season_nerf_tpu.config import Config
+    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.train.state import restore_variables
+
+    renders = []
+    for d in model_dirs:
+        cfg = Config.load_json(os.path.join(d, "opts.json"))
+        model = TNeRF(layer_width=cfg.fc_units,
+                      n_classes=cfg.number_low_frequency_cases)
+        template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                              jnp.zeros((2, 3)), jnp.zeros((2, 4)),
+                              train=False)
+        variables, _ = restore_variables(
+            template, os.path.join(d, "Final_Model.nn"))
+        r = Renderer(model, variables, n_samples=cfg.n_samples,
+                     chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2)
+        out = r.render_img((90.0, 0.0), (55.0, 180.0), 0.5, out_size)
+        renders.append((os.path.basename(os.path.normpath(d)),
+                        out["Col_Img"]))
+    n = len(renders)
+    fig, axes = plt.subplots(1, max(n, 1), figsize=(4 * max(n, 1), 4.4),
+                             squeeze=False)
+    for ax, (name, img) in zip(axes[0], renders):
+        ax.imshow(np.clip(np.nan_to_num(img), 0, 1))
+        ax.set_title(name)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path

@@ -127,3 +127,10 @@ def test_setup_data_unzip(tmp_path):
     assert os.path.exists(os.path.join(out, "OMA_000_RGB.tif"))
     assert os.path.exists(
         tmp_path / "io" / "Cache" / "OMA_132" / "rpc_x_original.ikono")
+
+
+def test_area_overviews(trained_dir, tmp_path):
+    cfg, logs, analysis = trained_dir
+    from season_nerf_tpu.eval.regional import area_overviews
+    out = area_overviews([logs], str(tmp_path / "overview.png"), out_size=8)
+    assert os.path.exists(out)

@@ -164,17 +164,29 @@ class Renderer:
     def _exact_solar_chunk(self, variables, pts, sun_vec):
         """Exact secondary-ray solar transmittance at every sample point
         (mg_Img_Eval.py:57-70): cast a sun ray from each point to z=+1,
-        integrate sigma along it.  pts: [N, 3] flat sample points."""
+        integrate sigma along it.  pts: [N, 3] flat sample points.
+
+        The O(N*S) secondary points are never materialized: a lax.scan over
+        the S-1 secondary steps evaluates sigma for all N rays at one depth
+        at a time and accumulates the optical depth — O(N) memory for the
+        n_samples^2 render (the blowup SURVEY.md §5 flags)."""
         S = self.n_samples
         k = (1.0 - pts[:, 2]) / sun_vec[2]
         tops = pts + k[:, None] * sun_vec[None, :]
-        spts, sdeltas = sample_coarse(None, tops, pts, S, train=False,
-                                      include_end=True)
-        sdeltas = jnp.where(out_of_cube(spts)[..., None], 0.0, sdeltas)
-        rho = self.model.apply(variables, spts.reshape(-1, 3), train=False,
-                               method="sigma_only").reshape(-1, S, 1)
-        # transmittance to the endpoint, excluding the final segment
-        tau = jnp.sum((rho * sdeltas)[:, :-1], axis=1)
+        delta = jnp.sqrt(jnp.sum((tops - pts) ** 2, axis=1))[:, None] / S
+
+        def step(tau, j):
+            s = j.astype(jnp.float32) / (S - 1)
+            spts = tops * (1.0 - s) + pts * s
+            d = jnp.where(out_of_cube(spts)[:, None], 0.0, delta)
+            rho = self.model.apply(variables, spts, train=False,
+                                   method="sigma_only")
+            return tau + rho * d, None
+
+        # transmittance to the endpoint excludes the final segment: steps
+        # j = 0 .. S-2 over the inclusive [0, 1] sample positions
+        tau, _ = jax.lax.scan(step, jnp.zeros((pts.shape[0], 1)),
+                              jnp.arange(S - 1))
         return jnp.exp(-tau)[:, 0]
 
     # -- chunked drivers ---------------------------------------------------

@@ -65,7 +65,7 @@ class Trainer:
                  mesh=None, writer: Optional[MetricWriter] = None):
         self.cfg = cfg
         self.mesh = mesh
-        self.writer = writer or MetricWriter(cfg.logs_dir or "./logs")
+        self.writer = writer or MetricWriter(cfg.logs_dir)
         compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                          else None)
         self.model = TNeRF(layer_width=cfg.fc_units,

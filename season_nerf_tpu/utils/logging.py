@@ -17,11 +17,17 @@ import numpy as np
 
 
 class MetricWriter:
+    """Writes scalars to TensorBoard + JSONL.  An empty/None logdir makes a
+    no-op writer (benchmarks and throwaway trainers)."""
+
     def __init__(self, logdir: str, use_tensorboard: bool = True):
         self.logdir = logdir
+        self._jsonl = None
+        self._tb = None
+        if not logdir:
+            return
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -30,6 +36,8 @@ class MetricWriter:
                 self._tb = None
 
     def scalar(self, tag: str, value, step: int):
+        if self._jsonl is None:
+            return
         v = float(value)
         if self._tb is not None:
             self._tb.add_scalar(tag, v, step)
@@ -50,12 +58,14 @@ class MetricWriter:
                                step, dataformats="HWC")
 
     def flush(self):
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self):
         self.flush()
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -1,0 +1,63 @@
+"""Data-parallel correctness: the 8-device mesh step computes the same
+update as the unsharded step (GSPMD collectives preserve semantics)."""
+
+import numpy as np
+import jax
+import pytest
+
+from season_nerf_tpu.config import Config
+from season_nerf_tpu.data.synthetic import make_scene, scene_ray_tables
+from season_nerf_tpu.parallel.mesh import make_mesh, batch_sharding, \
+    replicated_sharding
+from season_nerf_tpu.train.engine import Trainer
+from season_nerf_tpu.train import phases as pl
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = make_scene(n_views=4, img_size=20, grid=24, seed=9)
+    tt, vt = scene_ray_tables(scene, testing_size=1)
+    return scene, tt, vt
+
+
+def _train(scene, tt, vt, mesh, steps=3):
+    cfg = Config(max_train_steps=16, n_samples=8, batch_size=64,
+                 fc_units=32, n_saves=0, logs_dir="", jump_start=True)
+    tr = Trainer(cfg, tt, vt, prior_hm=scene.prior_hm, mesh=mesh)
+    tr._enter_phase(pl.phase_at(tr.phases, 0))
+    for _ in range(steps):
+        tr.rng, k = jax.random.split(tr.rng)
+        tr.state, scalars = tr._step_fn(tr.state, k)
+    return tr.state, jax.device_get(scalars)
+
+
+def test_mesh_matches_single_device(setup):
+    scene, tt, vt = setup
+    assert len(jax.devices()) >= 8, "conftest forces an 8-device CPU mesh"
+    mesh = make_mesh(8)
+    state_m, scal_m = _train(scene, tt, vt, mesh)
+    state_1, scal_1 = _train(scene, tt, vt, None)
+    # identical rng stream -> identical batches -> same math up to
+    # collective reduction ordering
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_m.params)):
+        # Adam amplifies tiny reduction-order diffs on near-zero grads;
+        # atol covers that, rtol guards real divergence
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+    for k in scal_1:
+        np.testing.assert_allclose(float(scal_1[k]), float(scal_m[k]),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh(8)
+    import jax.numpy as jnp
+    x = jnp.zeros((64, 22))
+    sh = batch_sharding(mesh)
+    y = jax.device_put(x, sh)
+    assert y.sharding.is_equivalent_to(sh, ndim=2)
+    # each device holds 1/8 of the rows
+    assert y.addressable_shards[0].data.shape == (8, 22)
+    r = jax.device_put(x, replicated_sharding(mesh))
+    assert r.addressable_shards[0].data.shape == (64, 22)

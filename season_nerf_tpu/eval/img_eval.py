@@ -167,10 +167,12 @@ def eval_rendering(renderer: Renderer, cam, out_size: Tuple[int, int],
             "Components": comp}
 
 
-def eval_img_dict(result: Dict, ssim_win: int = 13,
-                  em_scale: float = 1.0) -> Dict[str, Tuple]:
+def eval_img_dict(result: Dict, ssim_win: int = 13, em_scale: float = 1.0,
+                  score_extremes: bool = False) -> Dict[str, Tuple]:
     """Score table over the rendered variants (eval_img_dict,
-    mg_Img_Eval.py:544-572): {Base, Season_Adj, Aligned} x {flat, shadowed}."""
+    mg_Img_Eval.py:544-572): {Base, Season_Adj, Aligned} x {flat, shadowed},
+    plus per-class one-hot "extreme" renders when ``score_extremes`` (the
+    full_eval_P_img per-class scores, Eval_funcs.py:103-265)."""
     gt = result["Ground_Truth"]
     scores = {}
     for name, imgs in [("Base", result["Images"]),
@@ -186,6 +188,10 @@ def eval_img_dict(result: Dict, ssim_win: int = 13,
                 season * imgs["Shadow_Adjust_Exact"])
         for k, img in variants.items():
             scores[k] = image_quality_gauntlet(gt, img, ssim_win, em_scale)
+    if score_extremes:
+        for c, img in enumerate(result["Images"].get("Extreme_Imgs", [])):
+            scores[f"Class_{c}_Img"] = image_quality_gauntlet(
+                gt, img, ssim_win, em_scale)
     return scores
 
 

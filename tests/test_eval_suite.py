@@ -157,3 +157,11 @@ def test_season_eval_pipeline(setup):
     assert np.isfinite(stab["Stats"]["mean"])
     base = season_eval.prototype_baseline_em(scene.images[:3])
     assert np.isfinite(base[0, 1])
+
+
+def test_eval_img_dict_extremes(setup):
+    scene, model, variables, r = setup
+    res = img_eval.eval_rendering(r, scene.cameras[1], (10, 10),
+                                  n_align_times=8)
+    scores = img_eval.eval_img_dict(res, score_extremes=True)
+    assert "Class_0_Img" in scores and "Class_3_Img" in scores

@@ -48,17 +48,18 @@ def sample_fine(rng, tops, bots, base_pts, weights, n_fine):
     weights: [R, S].  Returns (all_pts [R, S+n_fine, 3], deltas [R, S+n_fine, 1]).
     """
     R, S, _ = base_pts.shape
+    k_idx, k_shift = jax.random.split(rng)
     w = weights + 1e-5
     cdf = jnp.cumsum(w, axis=1)
     cdf = cdf / cdf[:, -1:]
-    u = jax.random.uniform(rng, (R, n_fine))
+    u = jax.random.uniform(k_idx, (R, n_fine))
     idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     idx = jnp.clip(idx, 0, S - 1)
     # jitter within the chosen bin
     mids = (base_pts[:, 1:] + base_pts[:, :-1]) / 2
     starts = jnp.concatenate([tops[:, None, :], mids], axis=1)          # [R, S, 3]
     ends = jnp.concatenate([mids, bots[:, None, :]], axis=1)            # [R, S, 3]
-    shift = jax.random.uniform(rng, (R, n_fine, 1))
+    shift = jax.random.uniform(k_shift, (R, n_fine, 1))
     take = jax.vmap(lambda a, i: a[i])
     new_pts = take(starts, idx) + (take(ends, idx) - take(starts, idx)) * shift
     all_pts = jnp.concatenate([base_pts, new_pts], axis=1)

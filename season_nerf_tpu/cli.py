@@ -91,6 +91,12 @@ def _prepare_real(cfg: Config):
         len(site.cameras), testing_size=cfg.testing_size,
         testing_names=testing_names if testing_names else None,
         names=names)
+    # persist the split (the Training_Imgs.txt / Testing_Imgs.txt artifact
+    # contract, mg_Pt_holder.py:165-167)
+    with open(os.path.join(cfg.logs_dir, "Training_Imgs.txt"), "w") as f:
+        f.write("\n".join(names[i] for i in train_idx))
+    with open(os.path.join(cfg.logs_dir, "Testing_Imgs.txt"), "w") as f:
+        f.write("\n".join(names[i] for i in test_idx))
 
     from season_nerf_tpu.data.rays import camera_weights
     weights = (camera_weights(site.cameras)

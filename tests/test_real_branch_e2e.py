@@ -116,3 +116,12 @@ def test_space_carve_prior_real_branch(dfc_site):
     assert hm.shape == (8, 8)
     assert np.isfinite(hm).all()
     assert (hm >= -1).all() and (hm <= 1).all()
+
+
+def test_split_files_written(dfc_site):
+    io_root, site = dfc_site
+    logs = os.path.join(io_root, "Logs", f"{site}_e2e")
+    assert os.path.exists(os.path.join(logs, "Training_Imgs.txt"))
+    with open(os.path.join(logs, "Testing_Imgs.txt")) as f:
+        names = [l for l in f.read().split("\n") if l]
+    assert len(names) == 1 and names[0].startswith(site)

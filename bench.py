@@ -33,9 +33,10 @@ def main():
 
     # flagship training config (reference defaults, opt2.py:66-92) with a
     # TPU-friendly batch: 8192 rays/step instead of 512 (free MXU win).
-    # 4096 rays/step: largest batch the current TPU toolchain compiles for
-    # the fully-fused train step (8k+ trips a register-allocator RET_CHECK
-    # in the backward pass); revisit with a scanned/remat step.
+    # 4096 rays/step: the throughput sweet spot, and the largest batch the
+    # current TPU toolchain reliably compiles for the fully-fused train
+    # step (5k-8k+ trips a register-allocator RET_CHECK in the backward
+    # pass depending on shape); revisit with a scanned/remat step.
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 30))
     cfg = Config(max_train_steps=50_000, n_samples=96, batch_size=batch,

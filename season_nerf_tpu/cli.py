@@ -57,6 +57,12 @@ def _prepare_synthetic(cfg: Config):
                             use_hsluv=cfg.use_HSLuv)
     train_idx, test_idx = train_test_split(len(scene.cameras),
                                            testing_size=cfg.testing_size)
+    if cfg.logs_dir:
+        names = [c.name for c in scene.cameras]
+        with open(os.path.join(cfg.logs_dir, "Training_Imgs.txt"), "w") as f:
+            f.write("\n".join(names[i] for i in train_idx))
+        with open(os.path.join(cfg.logs_dir, "Testing_Imgs.txt"), "w") as f:
+            f.write("\n".join(names[i] for i in test_idx))
     return (scene.cameras, table, list(train_idx), list(test_idx),
             scene.prior_hm, scene.hm, (0.0, 30.0), None, None)
 

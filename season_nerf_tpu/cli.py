@@ -157,7 +157,7 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
                      if wc is not None else None)
 
     if eval_only:
-        model = TNeRF(layer_width=cfg.fc_units,
+        model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
                       n_classes=cfg.number_low_frequency_cases)
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                               jnp.zeros((2, 3)), jnp.zeros((2, 4)),
@@ -175,13 +175,21 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
         ckpts = sorted(
             glob.glob(os.path.join(cfg.logs_dir, "Model_*.nn")),
             key=lambda p: int(re.search(r"Model_(\d+)", p).group(1)))
+        completed = False
         if ckpts and getattr(cfg, "resume", True):
             last = ckpts[-1]
             step = int(re.search(r"Model_(\d+)", last).group(1))
-            if 0 < step < cfg.max_train_steps:
+            if step > 0:
                 print(f"resuming from {last} (step {step})")
                 trainer.resume(last)
-        trainer.run(n_steps=train_steps)
+                completed = step >= cfg.max_train_steps
+        if completed:
+            # re-running a finished experiment dir must not silently retrain
+            # from scratch and overwrite Final_Model.nn — load and skip to
+            # eval instead (pass --no-resume to retrain deliberately)
+            print("training already complete; skipping to eval")
+        else:
+            trainer.run(n_steps=train_steps)
         trainer.finalize()
         trainer.validation_report()
         model = trainer.model
@@ -189,7 +197,8 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
         if jax.tree_util.tree_leaves(trainer.state.batch_stats):
             variables["batch_stats"] = trainer.state.batch_stats
     renderer = Renderer(model, variables, n_samples=cfg.n_samples,
-                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2)
+                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
+                        use_hsluv=cfg.use_HSLuv)
 
     out_dir = os.path.join(cfg.logs_dir, "Output")
     analysis = analyze_model(
@@ -224,7 +233,7 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
     import jax
 
     cfg = Config.load_json(os.path.join(model_dir, "opts.json"))
-    model = TNeRF(layer_width=cfg.fc_units,
+    model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
                   n_classes=cfg.number_low_frequency_cases)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
@@ -249,7 +258,8 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
             f"got {tf!r}")
 
     renderer = Renderer(model, variables, n_samples=cfg.n_samples,
-                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2)
+                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
+                        use_hsluv=cfg.use_HSLuv)
     comp = renderer.component_render_by_dir(
         tuple(va), tuple(sa), year_frac, (out_size, out_size),
         angles_to_vec=angles_to_vec, exact_solar=exact_shadow)

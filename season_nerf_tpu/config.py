@@ -65,9 +65,12 @@ class Config:
     # --- TPU-specific additions --------------------------------------------
     resume: bool = True               # auto-resume from latest Model_<k>.nn
     seed: int = 0
-    mesh_shape: Optional[int] = None   # data-parallel devices; None = all
+    mesh_shape: Optional[int] = None   # data-parallel devices; None = all,
+    #                                    1 = force single-device (no mesh)
     compute_dtype: str = "float32"     # or "bfloat16" for the trunk matmuls
-    prefetch_device: bool = True
+    prefetch_device: bool = True       # eagerly place the ray table on the
+    #                                    device(s) (replicated over the mesh)
+    #                                    at startup; False defers to first use
 
     def resolve_dirs(self, create=True):
         """Derive the implied directory layout from IO_Location
@@ -113,7 +116,8 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Config = None):
             group.add_argument(flag, dest=f.name, action="store_true", default=default)
             group.add_argument("--no-" + f.name, dest=f.name, action="store_false")
         elif default is None:
-            parser.add_argument(flag, type=str, default=None)
+            typ = int if "int" in str(f.type) else str
+            parser.add_argument(flag, type=typ, default=None)
         else:
             parser.add_argument(flag, type=type(default), default=default)
     return parser

@@ -24,10 +24,10 @@ class DeviceRayDataset:
     [batch, 22] and can be sharded on axis 0 by the caller's in_shardings.
     """
 
-    def __init__(self, table: RayTable, sharding=None):
+    def __init__(self, table: RayTable, sharding=None, eager=True):
         self.n = len(table)
         rows = jnp.asarray(table.rows)
-        if sharding is not None:
+        if sharding is not None and eager:
             rows = jax.device_put(rows, sharding)
         self.rows = rows
         self.img_ids = jnp.asarray(table.img_ids)

@@ -288,7 +288,7 @@ def area_overviews(model_dirs: Sequence[str], out_path: str,
     renders = []
     for d in model_dirs:
         cfg = Config.load_json(os.path.join(d, "opts.json"))
-        model = TNeRF(layer_width=cfg.fc_units,
+        model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
                       n_classes=cfg.number_low_frequency_cases)
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                               jnp.zeros((2, 3)), jnp.zeros((2, 4)),
@@ -296,7 +296,8 @@ def area_overviews(model_dirs: Sequence[str], out_path: str,
         variables, _ = restore_variables(
             template, os.path.join(d, "Final_Model.nn"))
         r = Renderer(model, variables, n_samples=cfg.n_samples,
-                     chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2)
+                     chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
+                     use_hsluv=cfg.use_HSLuv)
         out = r.render_img((90.0, 0.0), (55.0, 180.0), 0.5, out_size)
         renders.append((os.path.basename(os.path.normpath(d)),
                         out["Col_Img"]))

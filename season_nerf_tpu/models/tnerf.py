@@ -42,6 +42,9 @@ from season_nerf_tpu.models.siren import SineLayer, torch_dense
 class GNeRF(nn.Module):
     """Position trunk + sigma/color/solar-visibility/sky heads."""
     layer_width: int = 512
+    n_layers: int = 8          # trunk depth (the reference's fc_layers flag,
+    #                            opt2.py:79-82 — defined there, dead there;
+    #                            honored here).  Skip concat at depth//2 + 1.
     pe_pose: int = 10
     pe_solar: int = 4
     n_channels: int = 3
@@ -53,14 +56,12 @@ class GNeRF(nn.Module):
         lw = self.layer_width
         lw2 = max(lw // 2, 1)
         lw4 = max(lw // 4, 1)
-        self.fc1 = SineLayer(lw, is_first=True, dtype=self.dtype, name="fc1")
-        self.fc2 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc2")
-        self.fc3 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc3")
-        self.fc4 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc4")
-        self.fc5 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc5")
-        self.fc6 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc6")
-        self.fc7 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc7")
-        self.fc8 = SineLayer(lw, use_norm=self.use_norm, dtype=self.dtype, name="fc8")
+        # fc1..fcN names match the reference state dict at the default depth
+        self.trunk = [
+            SineLayer(lw, is_first=(i == 1),
+                      use_norm=(self.use_norm and i > 1),
+                      dtype=self.dtype, name=f"fc{i}")
+            for i in range(1, self.n_layers + 1)]
         self.fc9 = SineLayer(lw2, use_norm=self.use_norm, dtype=self.dtype, name="fc9")
         in_pose = encoded_size(3, self.pe_pose, self.extended)
         in_solar = encoded_size(3, self.pe_solar, self.extended)
@@ -75,14 +76,12 @@ class GNeRF(nn.Module):
 
     def encode_x(self, x, train=False):
         pe = positional_encode(x, self.pe_pose, self.extended)
-        h = self.fc1(pe, train)
-        h = self.fc2(h, train)
-        h = self.fc3(h, train)
-        h = self.fc4(h, train)
-        h = self.fc5(jnp.concatenate([h, pe], -1), train)
-        h = self.fc6(h, train)
-        h = self.fc7(h, train)
-        h = self.fc8(h, train)
+        skip = self.n_layers // 2 + 1    # fc5 at the default depth of 8
+        h = pe
+        for i, layer in enumerate(self.trunk, start=1):
+            if i == skip and i > 1:
+                h = jnp.concatenate([h, pe], -1)
+            h = layer(h, train)
         return self.fc9(h, train)
 
     def position(self, x, train=False):
@@ -105,6 +104,7 @@ class GNeRF(nn.Module):
 class TNeRF(nn.Module):
     """Season-NeRF: GNeRF + seasonal class head + per-class albedo adjust."""
     layer_width: int = 512
+    n_layers: int = 8
     n_classes: int = 4
     pe_pose: int = 10
     pe_solar: int = 4
@@ -117,7 +117,8 @@ class TNeRF(nn.Module):
     def setup(self):
         lw = self.layer_width
         lw2 = max(lw // 2, 1)
-        self.gnerf = GNeRF(layer_width=lw, pe_pose=self.pe_pose,
+        self.gnerf = GNeRF(layer_width=lw, n_layers=self.n_layers,
+                           pe_pose=self.pe_pose,
                            pe_solar=self.pe_solar, n_channels=self.n_channels,
                            extended=self.extended, use_norm=self.use_norm,
                            dtype=self.dtype, name="gnerf")

@@ -111,7 +111,8 @@ class Renderer:
     """Whole-image renderer over a trained T-NeRF."""
 
     def __init__(self, model: TNeRF, variables, n_samples=96, chunk=10_240,
-                 classic_solar=False, sun_frame: Optional[np.ndarray] = None):
+                 classic_solar=False, sun_frame: Optional[np.ndarray] = None,
+                 use_hsluv: bool = False):
         self.model = model
         self.variables = variables
         self.n_samples = n_samples
@@ -121,6 +122,13 @@ class Renderer:
         self.chunk = max(chunk, 16)
         self.classic_solar = classic_solar
         self.sun_frame = sun_frame
+        # when the model was trained on HSLuv targets (use_HSLuv flag), its
+        # color head lives in normalized-HSLuv space; convert every rendered
+        # color back to sRGB so images and metrics compare against RGB ground
+        # truth (the reference trains in HSLuv but evals renders against raw
+        # RGB — matching that silently-wrong behavior is NOT wanted; see
+        # ADVICE r1 and mg_Color_Loader.py:27-29)
+        self.use_hsluv = use_hsluv
 
     # -- jitted chunk kernels ---------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
@@ -220,9 +228,14 @@ class Renderer:
         n = tops.shape[0]
         sun = np.broadcast_to(np.asarray(sun_vec, np.float32), (n, 3))
         t4 = np.broadcast_to(np.asarray(t4_row, np.float32), (n, 4))
-        return self._run_chunks(self._full_chunk, tops.astype(np.float32),
-                                bots.astype(np.float32), sun, t4,
-                                ["rendered", "shadow_raw", "height", "ps_sum"])
+        res = self._run_chunks(self._full_chunk, tops.astype(np.float32),
+                               bots.astype(np.float32), sun, t4,
+                               ["rendered", "shadow_raw", "height", "ps_sum"])
+        if self.use_hsluv:
+            from season_nerf_tpu.utils.hsluv import hsluv_normalized_to_rgb
+            res["rendered"] = hsluv_normalized_to_rgb(
+                np.clip(res["rendered"], 0, 1)).astype(np.float32)
+        return res
 
     # -- public API --------------------------------------------------------
     def render_img(self, view_el_az, sun_el_az, time_frac, out_size,
@@ -319,6 +332,9 @@ class Renderer:
                       for v, pad in zip(jax.device_get(dev), pads)]
             res["exact_solar"] = np.concatenate(chunks, 0).reshape(
                 n, S, 1)
+        # mark the color space so images_from_components converts composited
+        # colors back to sRGB without every call site having to plumb a flag
+        res["hsluv"] = self.use_hsluv
         return res
 
     def component_render_by_dir(self, view_el_az, sun_el_az, time_frac,
@@ -376,7 +392,21 @@ def images_from_components(res: Dict[str, np.ndarray], out_size,
     pv = np.exp(-np.concatenate([np.zeros_like(tau[:, :1]), tau[:, :-1]], 1))
     ps = pv * (1 - np.exp(-rho * deltas))
 
+    # compositing happens in the model's color space; when that space is
+    # normalized HSLuv (use_HSLuv training), convert the *composited* colors
+    # to sRGB for display/metrics (the reference skips this and scores HSLuv
+    # renders against RGB truth — deliberately not matched)
+    if res.get("hsluv"):
+        from season_nerf_tpu.utils.hsluv import hsluv_normalized_to_rgb
+
+        def to_rgb(v):
+            return hsluv_normalized_to_rgb(np.clip(v, 0, 1)).astype(np.float32)
+    else:
+        def to_rgb(v):
+            return v
+
     sky = res["sky"][0, 0]      # forward_separate emits activated sky color
+    sky_disp = to_rgb(sky)
     probs = res["class_probs"]
     mix = np.einsum("rsc,rscd->rsd", probs, res["adjust_per_class"])
 
@@ -391,14 +421,17 @@ def images_from_components(res: Dict[str, np.ndarray], out_size,
     for c in range(res["adjust_per_class"].shape[2]):
         cols = np.sum(ps * _sig(res["col_raw"]
                                 + res["adjust_per_class"][:, :, c]), 1)
-        extreme.append(scatter(cols))
+        extreme.append(scatter(to_rgb(cols)))
 
     def shadow_maps(vis_key):
         eff = np.sum(ps * res[vis_key], 1)[:, 0]
         raw = scatter(eff, ch=1)
         gated = _sig((raw - 0.2) * 30.0)
-        adjust = gated[..., None] + (1 - gated[..., None]) * sky[None, None]
+        adjust = (gated[..., None]
+                  + (1 - gated[..., None]) * sky_disp[None, None])
         if classic_shadows:
+            # ratio of shadow-attenuated to plain composite — computed in
+            # the model's own color space (it is a multiplicative map)
             term = res[vis_key] + (1 - res[vis_key]) * res["sky"]
             col_adj = _sig(res["col_raw"] + mix) * term
             quasi = np.sum(ps * col_adj, 1) / (season_cols + 1e-8)
@@ -407,11 +440,11 @@ def images_from_components(res: Dict[str, np.ndarray], out_size,
 
     raw_sm, sm, adj = shadow_maps("vis")
     out = {
-        "Base_Img": scatter(base_cols),
-        "Season_Adj_Img": scatter(season_cols),
+        "Base_Img": scatter(to_rgb(base_cols)),
+        "Season_Adj_Img": scatter(to_rgb(season_cols)),
         "Extreme_Imgs": extreme,
         "Shadow_Mask": sm, "Raw_Shadow_Mask": raw_sm, "Shadow_Adjust": adj,
-        "Sky_Col": sky,
+        "Sky_Col": sky_disp,
         "Time_Class": probs[0, 0],
     }
     if "exact_solar" in res:

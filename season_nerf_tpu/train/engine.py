@@ -44,6 +44,21 @@ from season_nerf_tpu.train.losses import LossStatics, season_nerf_loss
 from season_nerf_tpu.utils.logging import MetricWriter
 
 
+def _auto_mesh(cfg: Config):
+    """Build the data-parallel mesh from the config (the production wiring
+    the reference never had — it is single-GPU, SURVEY.md §2).
+
+    ``mesh_shape=None`` uses every visible device; ``mesh_shape=1`` forces
+    single-device; the batch must divide evenly over the mesh."""
+    n_dev = len(jax.devices())
+    want = cfg.mesh_shape if cfg.mesh_shape is not None else n_dev
+    want = max(1, min(int(want), n_dev))
+    if want <= 1 or cfg.batch_size % want != 0:
+        return None
+    from season_nerf_tpu.parallel.mesh import make_mesh
+    return make_mesh(n_devices=want)
+
+
 def _color_cfg(init_alpha=2.0, init_scale=0.03):
     return AdaptiveCfg(n_channels=3, alpha_lo=0.001, alpha_hi=2.99,
                        alpha_init=init_alpha, scale_lo=0.01,
@@ -64,11 +79,13 @@ class Trainer:
                  sun_frame: Optional[np.ndarray] = None,
                  mesh=None, writer: Optional[MetricWriter] = None):
         self.cfg = cfg
+        if mesh is None:
+            mesh = _auto_mesh(cfg)
         self.mesh = mesh
         self.writer = writer or MetricWriter(cfg.logs_dir)
         compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                          else None)
-        self.model = TNeRF(layer_width=cfg.fc_units,
+        self.model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
                            n_classes=cfg.number_low_frequency_cases,
                            dtype=compute_dtype)
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -77,7 +94,14 @@ class Trainer:
             init_key, jnp.zeros((2, 3)), jnp.zeros((2, 3)),
             jnp.zeros((2, 4)), train=False)
 
-        self.train_ds = DeviceRayDataset(train_table)
+        # ray table replicated over the mesh so the per-step batch gather is
+        # device-local (prefetch_device=False defers placement to first use)
+        row_sharding = None
+        if self.mesh is not None:
+            from season_nerf_tpu.parallel.mesh import replicated_sharding
+            row_sharding = replicated_sharding(self.mesh)
+        self.train_ds = DeviceRayDataset(train_table, sharding=row_sharding,
+                                         eager=cfg.prefetch_device)
         self.val_table = val_table
         self.prior_hm = (jnp.asarray(prior_hm)
                          if prior_hm is not None else None)
@@ -468,6 +492,13 @@ class Trainer:
             gt[ij[:, 0], ij[:, 1]] = part[:, 19:22]
             height[ij[:, 0], ij[:, 1]] = z
             seen[ij[:, 0], ij[:, 1]] = True
+        if cfg.use_HSLuv:
+            # model space is normalized HSLuv — convert render AND the
+            # HSLuv-encoded GT rows back to sRGB for display + PSNR
+            from season_nerf_tpu.utils.hsluv import hsluv_normalized_to_rgb
+            rend = hsluv_normalized_to_rgb(np.clip(rend, 0, 1)).astype(
+                np.float32)
+            gt = hsluv_normalized_to_rgb(np.clip(gt, 0, 1)).astype(np.float32)
         return rend, gt, height, seen
 
     def validation_report(self, step: Optional[int] = None):

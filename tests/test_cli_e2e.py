@@ -24,11 +24,11 @@ def trained_dir(tmp_path_factory):
     cfg.save_json()
     trainer, analysis = cli.run_test(cfg, eval_img_size=(12, 12),
                                      eval_season_size=(8, 8))
-    return cfg, logs, analysis
+    return cfg, logs, analysis, trainer
 
 
 def test_artifacts_exist(trained_dir):
-    cfg, logs, analysis = trained_dir
+    cfg, logs, analysis, _trainer = trained_dir
     assert os.path.exists(os.path.join(logs, "Final_Model.nn"))
     assert os.path.exists(os.path.join(logs, "opts.json"))
     assert os.path.exists(os.path.join(logs, "Analysis.pickle"))
@@ -43,15 +43,27 @@ def test_artifacts_exist(trained_dir):
         assert os.path.exists(os.path.join(detailed, f)), f
 
 
+def test_cli_builds_mesh(trained_dir):
+    """The production CLI path must train data-parallel whenever more than
+    one device is visible (conftest forces a virtual 8-device CPU mesh)."""
+    import jax
+    cfg, logs, analysis, trainer = trained_dir
+    assert trainer is not None and trainer.mesh is not None
+    assert trainer.mesh.devices.size == len(jax.devices())
+    # the ray table was eagerly replicated over that mesh
+    rows = trainer.train_ds.rows
+    assert len(rows.sharding.device_set) == len(jax.devices())
+
+
 def test_analysis_contents(trained_dir):
-    cfg, logs, analysis = trained_dir
+    cfg, logs, analysis, _trainer = trained_dir
     assert "HM" in analysis and "Images" in analysis
     assert np.isfinite(analysis["HM"]["After"]["RMSE"])
     assert len(analysis["Images"]) == 2    # testing_size cameras
 
 
 def test_render_pretrained(trained_dir):
-    cfg, logs, analysis = trained_dir
+    cfg, logs, analysis, _trainer = trained_dir
     shown, imgs = cli.render_pretrained(logs, (70, 30), (45, 180), "07/19",
                                         out_size=12)
     assert shown.shape == (12, 12, 3)
@@ -63,7 +75,7 @@ def test_render_pretrained(trained_dir):
 
 
 def test_eval_only_reload(trained_dir):
-    cfg, logs, analysis = trained_dir
+    cfg, logs, analysis, _trainer = trained_dir
     trainer, analysis2 = cli.run_test(cfg, eval_only=True,
                                       eval_img_size=(8, 8),
                                       eval_season_size=(8, 8))
@@ -72,7 +84,7 @@ def test_eval_only_reload(trained_dir):
 
 
 def test_multi_region_merge(trained_dir, tmp_path):
-    cfg, logs, analysis = trained_dir
+    cfg, logs, analysis, _trainer = trained_dir
     from season_nerf_tpu.eval.regional import multi_region_merge
     merged = multi_region_merge([os.path.join(logs, "Detailed_Output")],
                                 str(tmp_path / "Full_Summary"))
@@ -81,7 +93,7 @@ def test_multi_region_merge(trained_dir, tmp_path):
 
 
 def test_movie_and_summary_figs(trained_dir, tmp_path):
-    cfg, logs, analysis = trained_dir
+    cfg, logs, analysis, _trainer = trained_dir
     import jax
     import jax.numpy as jnp
     from season_nerf_tpu.models.tnerf import TNeRF
@@ -91,7 +103,7 @@ def test_movie_and_summary_figs(trained_dir, tmp_path):
         export_film
     from season_nerf_tpu.eval.summary_images import season_sun_grid
 
-    model = TNeRF(layer_width=cfg.fc_units,
+    model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
                   n_classes=cfg.number_low_frequency_cases)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
@@ -114,6 +126,38 @@ def test_movie_and_summary_figs(trained_dir, tmp_path):
     assert os.path.exists(grid_path)
 
 
+def test_hsluv_e2e(tmp_path):
+    """use_HSLuv=True trains on HSLuv-encoded targets; every rendered/eval
+    color must be converted back to sRGB (the reference scores HSLuv renders
+    against RGB truth — a bug we deliberately do not match)."""
+    logs = str(tmp_path / "hsluv_exp")
+    os.makedirs(logs, exist_ok=True)
+    cfg = Config(site_name="SYNTH_HSLUV", exp_name="hsluv_e2e",
+                 max_train_steps=6, n_samples=8, batch_size=64,
+                 fc_units=32, chunk=2048, n_saves=0, testing_size=2,
+                 use_HSLuv=True, logs_dir=logs,
+                 IO_Location=str(tmp_path / "io"))
+    cfg.resolve_dirs()
+    cfg.logs_dir = logs
+    cfg.save_json()
+    trainer, analysis = cli.run_test(cfg, eval_img_size=(8, 8),
+                                     eval_season_size=(8, 8))
+    # training targets really are HSLuv rows (encode differs from RGB)...
+    gt_rows = trainer.train_ds.table.rows[:, 19:22]
+    from season_nerf_tpu.utils.hsluv import hsluv_normalized_to_rgb
+    assert not np.allclose(gt_rows, hsluv_normalized_to_rgb(gt_rows),
+                           atol=0.05)
+    # ...but validation images come back in sRGB
+    rend, gt, _h, seen = trainer.render_table_image(trainer.val_table, 0)
+    assert np.isfinite(rend[seen]).all()
+    assert rend.min() >= 0.0 and rend.max() <= 1.0
+    # renders through the saved model dir are sRGB as well
+    shown, imgs = cli.render_pretrained(logs, (70, 30), (45, 180), "07/19",
+                                        out_size=8)
+    assert np.isfinite(shown).all()
+    assert np.nanmin(shown) >= 0.0 and np.nanmax(shown) <= 1.0 + 1e-6
+
+
 def test_setup_data_unzip(tmp_path):
     import zipfile
     zdir = tmp_path / "zips"
@@ -130,7 +174,7 @@ def test_setup_data_unzip(tmp_path):
 
 
 def test_area_overviews(trained_dir, tmp_path):
-    cfg, logs, analysis = trained_dir
+    cfg, logs, analysis, _trainer = trained_dir
     from season_nerf_tpu.eval.regional import area_overviews
     out = area_overviews([logs], str(tmp_path / "overview.png"), out_size=8)
     assert os.path.exists(out)

@@ -21,8 +21,11 @@ def setup():
 
 
 def _train(scene, tt, vt, mesh, steps=3):
+    # mesh_shape=1 opts out of Trainer's auto-mesh so the mesh=None leg
+    # really runs single-device
     cfg = Config(max_train_steps=16, n_samples=8, batch_size=64,
-                 fc_units=32, n_saves=0, logs_dir="", jump_start=True)
+                 fc_units=32, n_saves=0, logs_dir="", jump_start=True,
+                 mesh_shape=None if mesh is not None else 1)
     tr = Trainer(cfg, tt, vt, prior_hm=scene.prior_hm, mesh=mesh)
     tr._enter_phase(pl.phase_at(tr.phases, 0))
     for _ in range(steps):

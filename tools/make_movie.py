@@ -39,7 +39,7 @@ def main():
     from season_nerf_tpu.data.ingest import load_w2c_w2l
 
     cfg = Config.load_json(os.path.join(args.Model_Location, "opts.json"))
-    model = TNeRF(layer_width=cfg.fc_units,
+    model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
                   n_classes=cfg.number_low_frequency_cases)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
@@ -52,7 +52,7 @@ def main():
         to_vec = angles_to_vec_from_site(wc, S)
 
     r = Renderer(model, variables, n_samples=cfg.n_samples, chunk=cfg.chunk,
-                 classic_solar=cfg.Solar_Type_2)
+                 classic_solar=cfg.Solar_Type_2, use_hsluv=cfg.use_HSLuv)
     script = MovieScript()
     if args.keyframe:
         for kf in args.keyframe:

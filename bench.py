@@ -39,8 +39,10 @@ def main():
     # pass depending on shape); revisit with a scanned/remat step.
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 30))
+    remat = bool(int(os.environ.get("BENCH_REMAT", "0")))
     cfg = Config(max_train_steps=50_000, n_samples=96, batch_size=batch,
-                 fc_units=512, n_saves=0, logs_dir="", jump_start=True)
+                 fc_units=512, n_saves=0, logs_dir="", jump_start=True,
+                 remat_trunk=remat)
 
     scene = make_scene(n_views=6, img_size=48, grid=64, seed=0)
     train_tab, val_tab = scene_ray_tables(scene, testing_size=1)

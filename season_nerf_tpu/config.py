@@ -64,6 +64,15 @@ class Config:
 
     # --- TPU-specific additions --------------------------------------------
     resume: bool = True               # auto-resume from latest Model_<k>.nn
+    save_point_val_renders: int = 2   # validation images rendered to the
+    #                                   metric writer at each save point
+    #                                   (mg_run_NeRF.py:148-227 renders all;
+    #                                   -1 = all, 0 = none)
+    remat_trunk: bool = False         # jax.checkpoint the network blocks in
+    #                                   the train step: ~equal speed, much
+    #                                   lower peak HBM -> batches >= 8192
+    #                                   compile (the r1 register-allocator
+    #                                   wall, docs/DESIGN.md "Compiler limits")
     seed: int = 0
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all,
     #                                    1 = force single-device (no mesh)

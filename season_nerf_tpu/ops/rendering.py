@@ -70,7 +70,7 @@ def expected_surface(ps, pts, deltas):
 
 def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
               n_samples, n_importance=0, train=False, classic_solar=False,
-              prior_hm=None, model_trust=1.0, mutable=False):
+              prior_hm=None, model_trust=1.0, mutable=False, remat=False):
     """Render a batch of rays: the All_in_One_Eval.eval equivalent.
 
     model/variables: TNeRF flax module + its variables.
@@ -102,12 +102,19 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
     sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
     t4_flat = jnp.broadcast_to(t4[:, None, :], (R, S, 4)).reshape(-1, 4)
 
-    if mutable:
-        out, updates = model.apply(variables, flat, sun_flat, t4_flat,
-                                   train=train, mutable=["batch_stats"])
-    else:
-        out = model.apply(variables, flat, sun_flat, t4_flat, train=train)
-        updates = None
+    def net(v, f, s_, t_):
+        if mutable:
+            return model.apply(v, f, s_, t_, train=train,
+                               mutable=["batch_stats"])
+        return model.apply(v, f, s_, t_, train=train), None
+
+    if remat:
+        # rematerialize the whole network block in the backward pass: its
+        # activations (N x width x depth) stop coexisting with the solar
+        # pass's, halving peak HBM and shrinking the fused backward kernel
+        # past the register-allocator ceiling at large batches
+        net = jax.checkpoint(net)
+    out, updates = net(variables, flat, sun_flat, t4_flat)
 
     rho = out["rho"].reshape(R, S, 1)
     col = out["col"].reshape(R, S, -1)
@@ -160,7 +167,7 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
 
 def eval_rho_only(model, variables, rng, tops, bots, sun, t4, *,
                   n_samples, train=False, prior_hm=None, model_trust=1.0,
-                  mutable=False):
+                  mutable=False, remat=False):
     """Density+solar-visibility along rays (the solar-correction pass,
     Eval_Tools_2.py:297-337).  Gradients are blocked from the trunk by the
     module's forward_solar.  Returns (results, updates)."""
@@ -169,13 +176,16 @@ def eval_rho_only(model, variables, rng, tops, bots, sun, t4, *,
     flat = pts.reshape(-1, 3)
     sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
 
-    if mutable:
-        out, updates = model.apply(variables, flat, sun_flat, train=train,
-                                   method="forward_solar", mutable=["batch_stats"])
-    else:
-        out = model.apply(variables, flat, sun_flat, train=train,
-                          method="forward_solar")
-        updates = None
+    def net(v, f, s_):
+        if mutable:
+            return model.apply(v, f, s_, train=train, method="forward_solar",
+                               mutable=["batch_stats"])
+        return model.apply(v, f, s_, train=train,
+                           method="forward_solar"), None
+
+    if remat:
+        net = jax.checkpoint(net)
+    out, updates = net(variables, flat, sun_flat)
 
     rho = out["rho"].reshape(R, S, 1)
     vis = out["vis"].reshape(R, S, 1)

@@ -141,7 +141,8 @@ class Trainer:
             use_prior=use_prior,
             use_solar=cfg.Use_Solar, classic_solar=cfg.Solar_Type_2,
             use_mse_loss=cfg.Use_MSE_loss, sc_lambda=cfg.sc_lambda,
-            phase_len=phase.end, color_cfg=color_cfg, alpha_cfg=alpha_cfg)
+            phase_len=phase.end, color_cfg=color_cfg, alpha_cfg=alpha_cfg,
+            remat=cfg.remat_trunk)
 
     def _enter_phase(self, phase):
         """reset_eval equivalent (Net_Tool_2.py:63-131): fresh optimizers +
@@ -403,6 +404,12 @@ class Trainer:
             self.writer.scalars("Testing",
                                 {k: float(v) for k, v in scalars.items()},
                                 self.step)
+        if cfg.save_point_val_renders:
+            # rendered validation images + height maps at every save point,
+            # the reference's eval_img cadence (mg_run_NeRF.py:148-227);
+            # size-capped so saves stay cheap relative to training
+            self.validation_report(
+                max_images=max(cfg.save_point_val_renders, 0) or None)
         if cfg.logs_dir:
             state_lib.save_checkpoint(
                 os.path.join(cfg.logs_dir, f"Model_{self.step}.nn"),
@@ -501,18 +508,28 @@ class Trainer:
             gt = hsluv_normalized_to_rgb(np.clip(gt, 0, 1)).astype(np.float32)
         return rend, gt, height, seen
 
-    def validation_report(self, step: Optional[int] = None):
-        """Render every validation image; log PSNR + height MAE."""
+    def validation_report(self, step: Optional[int] = None,
+                          max_images: Optional[int] = None):
+        """Render validation images; log them + PSNR + height MAE to the
+        metric writer (eval_img, mg_run_NeRF.py:148-227).  ``max_images``
+        caps the count (used at save points; None renders all)."""
         if self.val_table is None:
             return {}
         step = step if step is not None else self.step
+        n_imgs = len(self.val_table.img_names)
+        if max_images is not None:
+            n_imgs = min(n_imgs, max_images)
         psnrs, maes = [], []
-        for i in range(len(self.val_table.img_names)):
+        for i in range(n_imgs):
             rend, gt, height, seen = self.render_table_image(self.val_table, i)
             p = float(psnr_metric(jnp.asarray(rend), jnp.asarray(gt),
                                   mask=jnp.asarray(seen)))
             psnrs.append(p)
             self.writer.image(f"Testing/render_{i}", rend, step)
+            h_img = np.nan_to_num(height, nan=-1.0)
+            h_img = (h_img + 1.0) / 2.0
+            self.writer.image(f"Testing/height_{i}",
+                              np.repeat(h_img[..., None], 3, -1), step)
             if self.gt_dsm is not None:
                 mae = _height_mae(height, seen, self.gt_dsm,
                                   self.val_table, i)

@@ -50,6 +50,7 @@ class LossStatics(NamedTuple):
     phase_len: int             # Model_Trust denominator (phase end step)
     color_cfg: Optional[AdaptiveCfg] = None
     alpha_cfg: Optional[AdaptiveCfg] = None
+    remat: bool = False        # rematerialize network blocks in backward
 
 
 def make_solar_rays(rng, n, sun_frame=None):
@@ -109,7 +110,7 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
         train=train,
         classic_solar=s.classic_solar,
         prior_hm=prior_hm if s.use_prior else None,
-        model_trust=model_trust, mutable=mutable)
+        model_trust=model_trust, mutable=mutable, remat=s.remat)
 
     losses: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
     sg = jax.lax.stop_gradient
@@ -125,7 +126,7 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
             model, variables, k_solar_samp, tops_s, bots_s, sun_s, None,
             n_samples=s.n_samples, train=train,
             prior_hm=prior_hm if s.use_prior else None,
-            model_trust=model_trust, mutable=mutable)
+            model_trust=model_trust, mutable=mutable, remat=s.remat)
         if updates2 is not None:
             updates = updates2  # same batch stats collection; keep latest
         vis_s = sol["vis"][..., 0]

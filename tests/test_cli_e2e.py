@@ -125,6 +125,35 @@ def test_movie_and_summary_figs(trained_dir, tmp_path):
         str(tmp_path / "grid.png"))
     assert os.path.exists(grid_path)
 
+    # 6-DoF free-camera orbit through the projective path
+    # (mg_movie_maker.py:209-461 / sample_rays_projective:52-70 parity)
+    pose_script = (
+        MovieScript()
+        .add(None, (45, 90), 0.2, cam_pose=(-0.8, 0.0, 0.6, 25, 0, 60))
+        .add(None, (50, 180), 0.5, cam_pose=(0.0, 0.8, 0.7, 30, 90, 55))
+        .add(None, (40, 270), 0.8, cam_pose=(0.8, 0.0, 0.6, 25, 180, 60)))
+    assert pose_script.six_dof
+    frames6 = render_movie(r, pose_script, n_frames=3, out_size=8)
+    assert frames6.shape == (3, 8, 8, 3) and frames6.dtype == np.uint8
+    # mixing pose and direction keyframes is rejected
+    bad = MovieScript().add((90, 0), (45, 90), 0.1).add(
+        None, (45, 90), 0.2, cam_pose=(0, 0, 0.5, 20, 0, 60))
+    with pytest.raises(ValueError):
+        bad.sample(2)
+
+
+def test_val_renders_at_save_points(trained_dir):
+    """Save points must render validation images (eval_img cadence,
+    mg_run_NeRF.py:148-227): Testing/Mean_PSNR appears at a step *before*
+    the end of training."""
+    import json
+    cfg, logs, analysis, _trainer = trained_dir
+    steps = [json.loads(l)["step"]
+             for l in open(os.path.join(logs, "metrics.jsonl"))
+             if json.loads(l)["tag"] == "Testing/Mean_PSNR"]
+    assert steps, "no validation renders logged"
+    assert min(steps) < cfg.max_train_steps
+
 
 def test_hsluv_e2e(tmp_path):
     """use_HSLuv=True trains on HSLuv-encoded targets; every rendered/eval

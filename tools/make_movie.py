@@ -23,8 +23,13 @@ def main():
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--fps", type=int, default=12)
-    p.add_argument("--keyframe", nargs="*", default=None,
-                   help="each: view_el,view_az,sun_el,sun_az,time_frac")
+    p.add_argument("--keyframe", action="append", default=None,
+                   help="repeatable: view_el,view_az,sun_el,sun_az,time_frac")
+    p.add_argument("--pose_keyframe", action="append", default=None,
+                   help="repeatable 6-DoF free-camera keyframe (cube "
+                        "coords): x,y,z,pitch,yaw,fov,sun_el,sun_az,"
+                        "time_frac — use --pose_keyframe=-0.8,... for "
+                        "values starting with a minus")
     args = p.parse_args()
 
     import jax
@@ -54,7 +59,13 @@ def main():
     r = Renderer(model, variables, n_samples=cfg.n_samples, chunk=cfg.chunk,
                  classic_solar=cfg.Solar_Type_2, use_hsluv=cfg.use_HSLuv)
     script = MovieScript()
-    if args.keyframe:
+    if args.pose_keyframe:
+        for kf in args.pose_keyframe:
+            x, y, z, pitch, yaw, fov, se, sa, t = \
+                [float(v) for v in kf.split(",")]
+            script.add(None, (se, sa), t,
+                       cam_pose=(x, y, z, pitch, yaw, fov))
+    elif args.keyframe:
         for kf in args.keyframe:
             ve, va, se, sa, t = [float(x) for x in kf.split(",")]
             script.add((ve, va), (se, sa), t)

@@ -107,11 +107,23 @@ def _prepare_real(cfg: Config):
     from season_nerf_tpu.data.rays import camera_weights
     weights = (camera_weights(site.cameras)
                if cfg.weight_training_samples else None)
+    # validation cameras render at their own downscale
+    # (img_validation_downscale, mg_run_NeRF.py:74-82 val loader)
+    test_set = set(test_idx)
+    downscales = [cfg.img_validation_downscale if i in test_set
+                  else cfg.img_training_downscale
+                  for i in range(len(site.cameras))]
+    # cache name carries the row-shaping settings so config changes can't
+    # resurrect a stale table
+    cache_name = (f"ray_table_ds{cfg.img_training_downscale}"
+                  f"_v{cfg.img_validation_downscale}"
+                  f"{'_hsluv' if cfg.use_HSLuv else ''}"
+                  f"{'_w' if cfg.weight_training_samples else ''}.npz")
     table = build_ray_table(
         site.cameras, [c.image for c in site.cameras],
-        downscales=[cfg.img_training_downscale] * len(site.cameras),
+        downscales=downscales,
         weights=weights, use_hsluv=cfg.use_HSLuv,
-        cache_path=os.path.join(cfg.cache_dir, "ray_table.npz"))
+        cache_path=os.path.join(cfg.cache_dir, cache_name))
 
     h_range = tuple(site.bounds_lla[2])
     gt_dsm = None

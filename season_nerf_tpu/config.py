@@ -36,6 +36,10 @@ class Config:
     Solar_Type_2: bool = False         # classic irradiance composite
     skip_Bundle_Adjust: bool = False
     Use_Solar: bool = True
+    # accepted-but-inert, MATCHING the reference: Use_Reg gates only
+    # commented-out code (Eval_Tools_2.py:404-412) and use_auto_balance is
+    # never consumed there either — kept so reference command lines and
+    # opts.json files round-trip unchanged
     Use_Reg: bool = False
     use_auto_balance: bool = False
     use_HSLuv: bool = False
@@ -68,11 +72,13 @@ class Config:
     #                                   metric writer at each save point
     #                                   (mg_run_NeRF.py:148-227 renders all;
     #                                   -1 = all, 0 = none)
-    remat_trunk: bool = False         # jax.checkpoint the network blocks in
-    #                                   the train step: ~equal speed, much
-    #                                   lower peak HBM -> batches >= 8192
-    #                                   compile (the r1 register-allocator
-    #                                   wall, docs/DESIGN.md "Compiler limits")
+    remat_trunk: str = ""             # jax.checkpoint the network blocks in
+    #                                   the train step: "full" (save nothing),
+    #                                   "dots" (save matmul outputs, recompute
+    #                                   elementwise only), "" = off.  Lower
+    #                                   peak HBM -> batches >= 8192 compile
+    #                                   (the r1 register-allocator wall,
+    #                                   docs/DESIGN.md "Compiler limits")
     seed: int = 0
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all,
     #                                    1 = force single-device (no mesh)

@@ -86,18 +86,68 @@ def analyze_model(renderer: Renderer, model, variables, cams: Sequence,
             nadir, tuple(cams[0].sun_el_az), float(t), walk_size,
             angles_to_vec=angles_to_vec)["Col_Img"] for t in walk_times]}
 
-    _dump(analysis, os.path.join(out_dir, "Analysis.pickle"))
+    # pickle without the raw per-sample component arrays (rho/col/adjust per
+    # sample — hundreds of MB at production render sizes); the composited
+    # images + scores are what load_results_2 consumes (load.py:485-500)
+    slim_images = {}
+    for name, e in analysis["Images"].items():
+        se = {k: v for k, v in e.items() if k != "Result"}
+        se["Result"] = {k: v for k, v in e["Result"].items()
+                        if k != "Components"}
+        slim_images[name] = se
+    _dump({**analysis, "Images": slim_images},
+          os.path.join(out_dir, "Analysis.pickle"))
     return analysis
 
 
+def _per_image_figure(name: str, entry: Dict, path: str):
+    """GT / base / seasonally-aligned / shadow-adjusted side-by-side with a
+    per-image score strip (the Output/ per-test-image PNGs, load.py:485-500
+    + Orgainize_Output_Imgs_Imgs, mg_Img_Eval.py:625-799)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    res = entry["Result"]
+    al = res["Seasonal_Aligned_Imgs"]
+    panels = [
+        ("GT", res["Ground_Truth"], None),
+        ("Base", res["Images"]["Season_Adj_Img"], "Base_Shadow_Img"),
+        ("Aligned", al["Season_Adj_Img"], "Aligned_Img"),
+        ("Aligned+Shadow", al["Season_Adj_Img"] * al["Shadow_Adjust"],
+         "Aligned_Shadow_Img"),
+    ]
+    fig, axes = plt.subplots(1, len(panels), figsize=(3.4 * len(panels), 4))
+    scores = entry.get("Scores", {})
+    for ax, (title, img, score_key) in zip(axes, panels):
+        ax.imshow(np.clip(np.nan_to_num(np.asarray(img, float)), 0, 1))
+        sub = ""
+        if score_key and score_key in scores:
+            _l2, p, s, em = scores[score_key]
+            sub = f"\nPSNR {p:.2f}  SSIM {s:.3f}  EM {em:.3f}"
+        ax.set_title(title + sub, fontsize=9)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    cvec, sky, t_best = entry["Aligned_Vals"]
+    fig.suptitle(f"{name}  (aligned time {t_best:.3f})", fontsize=10)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def write_analysis_outputs(analysis: Dict, out_dir: str):
-    """load_results_2 equivalent (load.py:485-500): PNG figures + GIF."""
+    """load_results_2 equivalent (load.py:485-500): PNG figures + GIF +
+    per-test-image comparison figures."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from season_nerf_tpu.render.movie import giffify
 
     os.makedirs(out_dir, exist_ok=True)
+    for name, entry in analysis.get("Images", {}).items():
+        if "Result" in entry:
+            safe = str(name).replace(os.sep, "_")
+            _per_image_figure(name, entry,
+                              os.path.join(out_dir, f"{safe}_comparison.png"))
     if "HM" in analysis:
         hm = analysis["HM"]
         fig, axes = plt.subplots(1, 3, figsize=(13, 4))

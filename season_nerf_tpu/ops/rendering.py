@@ -68,6 +68,16 @@ def expected_surface(ps, pts, deltas):
     return loc, dist
 
 
+def _remat_policy(remat):
+    """remat=True / "full": save nothing (max memory savings, ~30% recompute
+    cost); remat="dots": save matmul outputs and recompute only the cheap
+    elementwise epilogues (sin, norm) — near-zero recompute, still breaks
+    the fused-backward register pressure."""
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    return None
+
+
 def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
               n_samples, n_importance=0, train=False, classic_solar=False,
               prior_hm=None, model_trust=1.0, mutable=False, remat=False):
@@ -109,11 +119,11 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
         return model.apply(v, f, s_, t_, train=train), None
 
     if remat:
-        # rematerialize the whole network block in the backward pass: its
+        # rematerialize the network block in the backward pass: its
         # activations (N x width x depth) stop coexisting with the solar
         # pass's, halving peak HBM and shrinking the fused backward kernel
         # past the register-allocator ceiling at large batches
-        net = jax.checkpoint(net)
+        net = jax.checkpoint(net, policy=_remat_policy(remat))
     out, updates = net(variables, flat, sun_flat, t4_flat)
 
     rho = out["rho"].reshape(R, S, 1)
@@ -184,7 +194,7 @@ def eval_rho_only(model, variables, rng, tops, bots, sun, t4, *,
                            method="forward_solar"), None
 
     if remat:
-        net = jax.checkpoint(net)
+        net = jax.checkpoint(net, policy=_remat_policy(remat))
     out, updates = net(variables, flat, sun_flat)
 
     rho = out["rho"].reshape(R, S, 1)

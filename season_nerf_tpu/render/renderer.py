@@ -133,8 +133,12 @@ class Renderer:
     # -- jitted chunk kernels ---------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def _full_chunk(self, variables, tops, bots, sun, t4):
+        # rng=None: inference sampling is deterministic (no jitter when
+        # train=False); passing no key makes that explicit instead of
+        # threading a fixed PRNGKey that would silently reuse if anyone
+        # flipped train semantics
         out, _ = rendering.eval_rays(
-            self.model, variables, jax.random.PRNGKey(0), tops, bots, sun,
+            self.model, variables, None, tops, bots, sun,
             t4, n_samples=self.n_samples, train=False,
             classic_solar=self.classic_solar)
         shadow = jnp.sum(out["ps"] * out["vis"], axis=1)[:, 0]

@@ -50,7 +50,8 @@ class LossStatics(NamedTuple):
     phase_len: int             # Model_Trust denominator (phase end step)
     color_cfg: Optional[AdaptiveCfg] = None
     alpha_cfg: Optional[AdaptiveCfg] = None
-    remat: bool = False        # rematerialize network blocks in backward
+    remat: str = ""            # rematerialize network blocks in backward:
+    #                            "" off, "full", or "dots" (rendering._remat_policy)
 
 
 def make_solar_rays(rng, n, sun_frame=None):

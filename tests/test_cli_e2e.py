@@ -35,6 +35,10 @@ def test_artifacts_exist(trained_dir):
     out = os.path.join(logs, "Output")
     assert os.path.exists(os.path.join(out, "Image_scores.txt"))
     assert os.path.exists(os.path.join(out, "Time_Walk.gif"))
+    # per-test-image comparison figures (load.py:485-500 contract)
+    import glob as _glob
+    comps = _glob.glob(os.path.join(out, "*_comparison.png"))
+    assert len(comps) == 2, comps    # one per testing camera
     detailed = os.path.join(logs, "Detailed_Output")
     for f in ("HM_Summary.pickle", "Img_Summary.pickle",
               "Shadow_Scores_Summary.pickle", "Season_Summary.pickle",

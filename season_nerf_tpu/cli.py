@@ -49,8 +49,8 @@ def _prepare_synthetic(cfg: Config):
     from season_nerf_tpu.data.synthetic import make_scene
     from season_nerf_tpu.data.rays import build_ray_table, train_test_split
     from season_nerf_tpu.data.rays import camera_weights
-    scene = make_scene(n_views=10, img_size=96, grid=96,
-                       seed=cfg.seed)
+    scene = make_scene(n_views=cfg.synth_views, img_size=cfg.synth_img_size,
+                       grid=cfg.synth_grid, seed=cfg.seed)
     weights = (camera_weights(scene.cameras)
                if cfg.weight_training_samples else None)
     table = build_ray_table(scene.cameras, scene.images, weights=weights,

@@ -68,6 +68,10 @@ class Config:
 
     # --- TPU-specific additions --------------------------------------------
     resume: bool = True               # auto-resume from latest Model_<k>.nn
+    # synthetic-site generator knobs (SYNTH_* sites, data/synthetic.py)
+    synth_views: int = 10
+    synth_img_size: int = 96
+    synth_grid: int = 96
     save_point_val_renders: int = 2   # validation images rendered to the
     #                                   metric writer at each save point
     #                                   (mg_run_NeRF.py:148-227 renders all;

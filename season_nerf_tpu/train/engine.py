@@ -469,7 +469,12 @@ class Trainer:
         """Render one validation image from its precomputed rays; returns
         (rendered [H,W,3], gt [H,W,3], height [H,W], mask [H,W])."""
         cfg = self.cfg
-        chunk = chunk or cfg.chunk
+        # the fused val-render program (decode + sample + full net + surface)
+        # trips the TPU register allocator at chunk 10240 x 96 samples on the
+        # current toolchain (same live_range_finder RET_CHECK as the large-
+        # batch train step); 4096-ray dispatches compile everywhere and the
+        # extra dispatch count is noise next to the render itself
+        chunk = min(chunk or cfg.chunk, 4096)
         mask_rows = table.img_ids == img_index
         rows = table.rows[mask_rows]
         H, W = table.img_sizes[img_index]

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Serving throughput: full-quality render rays/s on the current device.
+
+Measures the inference path the regional eval and render CLIs use
+(Renderer._full_chunk: stratified sampling + full T-NeRF + transmittance
+composite fused in one XLA program per chunk), at the reference's quality
+settings (96 samples/ray, chunk 10240, opt2.py:68,110).
+
+  python tools/bench_serving.py [--size 512] [--chunk 10240] [--fc 512]
+
+Prints one JSON line {"metric": "render_rays_per_sec", ...}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--chunk", type=int, default=10_240)
+    p.add_argument("--fc", type=int, default=512)
+    p.add_argument("--n_samples", type=int, default=96)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.render.renderer import Renderer
+
+    model = TNeRF(layer_width=args.fc, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    r = Renderer(model, variables, n_samples=args.n_samples, chunk=args.chunk)
+
+    # warmup/compile
+    r.render_img((70.0, 40.0), (45.0, 180.0), 0.5, args.size)
+    n_rays = args.size * args.size
+    t0 = time.perf_counter()
+    for i in range(args.repeats):
+        r.render_img((70.0, 40.0 + i), (45.0, 180.0), 0.5, args.size)
+    dt = time.perf_counter() - t0
+    rays_per_sec = n_rays * args.repeats / dt
+    print(json.dumps({
+        "metric": "render_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "config": f"{args.size}x{args.size}x{args.n_samples}, "
+                  f"chunk {args.chunk}, fc {args.fc}",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,7 +154,6 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
     from season_nerf_tpu.render.renderer import Renderer
     from season_nerf_tpu.eval.regional import (
         analyze_model, write_analysis_outputs, regional_eval)
-    from season_nerf_tpu.models.tnerf import TNeRF
     import jax
     import jax.numpy as jnp
 
@@ -169,8 +168,8 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
                      if wc is not None else None)
 
     if eval_only:
-        model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
-                      n_classes=cfg.number_low_frequency_cases)
+        from season_nerf_tpu.models.tnerf import model_from_config
+        model = model_from_config(cfg)
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                               jnp.zeros((2, 3)), jnp.zeros((2, 4)),
                               train=False)
@@ -201,16 +200,18 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
             # eval instead (pass --no-resume to retrain deliberately)
             print("training already complete; skipping to eval")
         else:
-            trainer.run(n_steps=train_steps)
+            trainer.run(n_steps=train_steps, scan_chunk=cfg.scan_chunk)
         trainer.finalize()
         trainer.validation_report()
         model = trainer.model
         variables = {"params": trainer.state.params}
         if jax.tree_util.tree_leaves(trainer.state.batch_stats):
             variables["batch_stats"] = trainer.state.batch_stats
+    from season_nerf_tpu.train.engine import _auto_mesh
     renderer = Renderer(model, variables, n_samples=cfg.n_samples,
                         chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
-                        use_hsluv=cfg.use_HSLuv)
+                        use_hsluv=cfg.use_HSLuv,
+                        mesh=trainer.mesh if trainer else _auto_mesh(cfg))
 
     out_dir = os.path.join(cfg.logs_dir, "Output")
     analysis = analyze_model(
@@ -236,7 +237,6 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
                       save_name: Optional[str] = None):
     """main_run_Season_NeRF.py equivalent: novel view from a model dir."""
     import jax.numpy as jnp
-    from season_nerf_tpu.models.tnerf import TNeRF
     from season_nerf_tpu.train.state import restore_variables
     from season_nerf_tpu.render.renderer import Renderer, \
         images_from_components
@@ -245,8 +245,8 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
     import jax
 
     cfg = Config.load_json(os.path.join(model_dir, "opts.json"))
-    model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
-                  n_classes=cfg.number_low_frequency_cases)
+    from season_nerf_tpu.models.tnerf import model_from_config
+    model = model_from_config(cfg)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
     variables, meta = restore_variables(
@@ -269,9 +269,10 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
             f"--tf must be MM/DD (e.g. 07/19) or a year fraction in [0,1); "
             f"got {tf!r}")
 
+    from season_nerf_tpu.train.engine import _auto_mesh
     renderer = Renderer(model, variables, n_samples=cfg.n_samples,
                         chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
-                        use_hsluv=cfg.use_HSLuv)
+                        use_hsluv=cfg.use_HSLuv, mesh=_auto_mesh(cfg))
     comp = renderer.component_render_by_dir(
         tuple(va), tuple(sa), year_frac, (out_size, out_size),
         angles_to_vec=angles_to_vec, exact_solar=exact_shadow)

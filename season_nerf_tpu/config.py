@@ -84,9 +84,17 @@ class Config:
     #                                   (the r1 register-allocator wall,
     #                                   docs/DESIGN.md "Compiler limits")
     seed: int = 0
+    scan_chunk: int = 20               # optimizer steps fused into one
+    #                                    lax.scan dispatch between host
+    #                                    events (Trainer.run); 1 disables
+    #                                    the multi-step scan program
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all,
     #                                    1 = force single-device (no mesh)
     compute_dtype: str = "float32"     # or "bfloat16" for the trunk matmuls
+    fast_sine: bool = False            # polynomial sin activation (exact to
+    #                                    f32 on the SIREN pre-activation
+    #                                    range; ops/fast_math.py) — the VPU
+    #                                    is the step's bottleneck
     prefetch_device: bool = True       # eagerly place the ray table on the
     #                                    device(s) (replicated over the mesh)
     #                                    at startup; False defers to first use

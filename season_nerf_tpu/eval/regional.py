@@ -332,14 +332,13 @@ def area_overviews(model_dirs: Sequence[str], out_path: str,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from season_nerf_tpu.config import Config
-    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.models.tnerf import model_from_config
     from season_nerf_tpu.train.state import restore_variables
 
     renders = []
     for d in model_dirs:
         cfg = Config.load_json(os.path.join(d, "opts.json"))
-        model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
-                      n_classes=cfg.number_low_frequency_cases)
+        model = model_from_config(cfg)
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                               jnp.zeros((2, 3)), jnp.zeros((2, 4)),
                               train=False)

@@ -51,27 +51,32 @@ class GNeRF(nn.Module):
     extended: bool = True
     use_norm: bool = True
     dtype: Any = None
+    fast_sine: bool = False
 
     def setup(self):
         lw = self.layer_width
         lw2 = max(lw // 2, 1)
         lw4 = max(lw // 4, 1)
+        fs = self.fast_sine
         # fc1..fcN names match the reference state dict at the default depth
         self.trunk = [
             SineLayer(lw, is_first=(i == 1),
                       use_norm=(self.use_norm and i > 1),
-                      dtype=self.dtype, name=f"fc{i}")
+                      dtype=self.dtype, fast_sine=fs, name=f"fc{i}")
             for i in range(1, self.n_layers + 1)]
-        self.fc9 = SineLayer(lw2, use_norm=self.use_norm, dtype=self.dtype, name="fc9")
+        self.fc9 = SineLayer(lw2, use_norm=self.use_norm, dtype=self.dtype,
+                             fast_sine=fs, name="fc9")
         in_pose = encoded_size(3, self.pe_pose, self.extended)
         in_solar = encoded_size(3, self.pe_solar, self.extended)
         self.fc10_col = torch_dense(self.n_channels, lw2, name="fc10_col", dtype=self.dtype)
         self.fc10_sigma = torch_dense(1, lw2, name="fc10_sigma", dtype=self.dtype)
-        self.fc_solar_1 = SineLayer(lw2, is_first=True, dtype=self.dtype, name="fc_solar_1")
-        self.fc_solar_2 = SineLayer(lw2, dtype=self.dtype, name="fc_solar_2")
-        self.fc_solar_3 = SineLayer(lw2, dtype=self.dtype, name="fc_solar_3")
+        self.fc_solar_1 = SineLayer(lw2, is_first=True, dtype=self.dtype,
+                                    fast_sine=fs, name="fc_solar_1")
+        self.fc_solar_2 = SineLayer(lw2, dtype=self.dtype, fast_sine=fs, name="fc_solar_2")
+        self.fc_solar_3 = SineLayer(lw2, dtype=self.dtype, fast_sine=fs, name="fc_solar_3")
         self.fc_solar_4 = torch_dense(1, lw2, name="fc_solar_4", dtype=self.dtype)
-        self.fc_sky_1 = SineLayer(lw4, is_first=True, dtype=self.dtype, name="fc_sky_1")
+        self.fc_sky_1 = SineLayer(lw4, is_first=True, dtype=self.dtype,
+                                  fast_sine=fs, name="fc_sky_1")
         self.fc_sky_2 = torch_dense(3, lw4, name="fc_sky_2", dtype=self.dtype)
 
     def encode_x(self, x, train=False):
@@ -113,21 +118,24 @@ class TNeRF(nn.Module):
     extended: bool = True
     use_norm: bool = True
     dtype: Any = None
+    fast_sine: bool = False
 
     def setup(self):
         lw = self.layer_width
         lw2 = max(lw // 2, 1)
+        fs = self.fast_sine
         self.gnerf = GNeRF(layer_width=lw, n_layers=self.n_layers,
                            pe_pose=self.pe_pose,
                            pe_solar=self.pe_solar, n_channels=self.n_channels,
                            extended=self.extended, use_norm=self.use_norm,
-                           dtype=self.dtype, name="gnerf")
-        self.time_1 = SineLayer(lw, is_first=True, dtype=self.dtype, name="time_1")
-        self.time_2 = SineLayer(lw, dtype=self.dtype, name="time_2")
+                           dtype=self.dtype, fast_sine=fs, name="gnerf")
+        self.time_1 = SineLayer(lw, is_first=True, dtype=self.dtype,
+                                fast_sine=fs, name="time_1")
+        self.time_2 = SineLayer(lw, dtype=self.dtype, fast_sine=fs, name="time_2")
         self.class_head = torch_dense(self.n_classes, lw, name="class_head", dtype=self.dtype)
-        self.adjust_1 = SineLayer(lw, dtype=self.dtype, name="adjust_1")
-        self.adjust_2 = SineLayer(lw, dtype=self.dtype, name="adjust_2")
-        self.adjust_3 = SineLayer(lw, dtype=self.dtype, name="adjust_3")
+        self.adjust_1 = SineLayer(lw, dtype=self.dtype, fast_sine=fs, name="adjust_1")
+        self.adjust_2 = SineLayer(lw, dtype=self.dtype, fast_sine=fs, name="adjust_2")
+        self.adjust_3 = SineLayer(lw, dtype=self.dtype, fast_sine=fs, name="adjust_3")
         self.adjust_col = torch_dense(self.n_classes * 3, lw, name="adjust_col", dtype=self.dtype)
         # unused-by-forward heads kept for reference-checkpoint parity
         self.adjust_rho = torch_dense(self.n_classes, lw, name="adjust_rho")
@@ -208,6 +216,18 @@ class TNeRF(nn.Module):
 
     def class_only(self, t4, train=False):
         return self.class_probs(t4, train)
+
+
+def model_from_config(cfg) -> TNeRF:
+    """The one place a Config becomes a network — every CLI / eval / tool
+    reconstruction must agree with the Trainer's construction (fc_units,
+    fc_layers, class count, compute dtype, fast-sine activation) or a saved
+    model dir would silently load into a different architecture."""
+    dtype = (jnp.bfloat16 if getattr(cfg, "compute_dtype", "float32")
+             == "bfloat16" else None)
+    return TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
+                 n_classes=cfg.number_low_frequency_cases,
+                 dtype=dtype, fast_sine=getattr(cfg, "fast_sine", False))
 
 
 def supervised_sigma(hm, world_pts, delta, eps=0.99):

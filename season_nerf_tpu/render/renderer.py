@@ -112,7 +112,7 @@ class Renderer:
 
     def __init__(self, model: TNeRF, variables, n_samples=96, chunk=10_240,
                  classic_solar=False, sun_frame: Optional[np.ndarray] = None,
-                 use_hsluv: bool = False):
+                 use_hsluv: bool = False, mesh=None):
         self.model = model
         self.variables = variables
         self.n_samples = n_samples
@@ -122,6 +122,21 @@ class Renderer:
         self.chunk = max(chunk, 16)
         self.classic_solar = classic_solar
         self.sun_frame = sun_frame
+        # data-parallel inference: rays of every chunk sharded over the
+        # mesh's data axis, params replicated — the serving-side twin of the
+        # training mesh (parallel/mesh.py); rendering needs no collectives
+        # at all (each ray is independent)
+        self.mesh = mesh if (mesh is not None
+                             and np.prod(mesh.devices.shape) > 1) else None
+        self._ray_sharding = None
+        if self.mesh is not None:
+            from season_nerf_tpu.parallel.mesh import (batch_sharding,
+                                                       replicated_sharding)
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            self.chunk = -(-self.chunk // n_dev) * n_dev
+            self._ray_sharding = batch_sharding(self.mesh)
+            self.variables = jax.device_put(
+                variables, replicated_sharding(self.mesh))
         # when the model was trained on HSLuv targets (use_HSLuv flag), its
         # color head lives in normalized-HSLuv space; convert every rendered
         # color back to sRGB so images and metrics compare against RGB ground
@@ -202,6 +217,13 @@ class Renderer:
         return jnp.exp(-tau)[:, 0]
 
     # -- chunked drivers ---------------------------------------------------
+    def _put(self, arr):
+        """Chunk array -> device: sharded over the mesh's data axis when a
+        mesh is set, plain transfer otherwise."""
+        if self._ray_sharding is not None:
+            return jax.device_put(arr, self._ray_sharding)
+        return jnp.asarray(arr)
+
     def _run_chunks(self, kernel, tops, bots, sun, t4, extra_keys):
         n = tops.shape[0]
         c = self.chunk
@@ -216,9 +238,9 @@ class Renderer:
                 bb = np.concatenate([bb, np.repeat(bb[-1:], pad, 0)], 0)
                 ss = np.concatenate([ss, np.repeat(ss[-1:], pad, 0)], 0)
                 t44 = np.concatenate([t44, np.repeat(t44[-1:], pad, 0)], 0)
-            device_outs.append(kernel(self.variables, jnp.asarray(tt),
-                                      jnp.asarray(bb), jnp.asarray(ss),
-                                      jnp.asarray(t44)))
+            device_outs.append(kernel(self.variables, self._put(tt),
+                                      self._put(bb), self._put(ss),
+                                      self._put(t44)))
             pads.append(pad)
         outs = {k: [] for k in extra_keys}
         for res, pad in zip(jax.device_get(device_outs), pads):
@@ -330,7 +352,7 @@ class Renderer:
                     part = np.concatenate(
                         [part, np.repeat(part[-1:], pad, 0)], 0)
                 dev.append(self._exact_solar_chunk(
-                    self.variables, jnp.asarray(part), sv))
+                    self.variables, self._put(part), sv))
                 pads.append(pad)
             chunks = [v[:v.shape[0] - pad] if pad else v
                       for v, pad in zip(jax.device_get(dev), pads)]

@@ -83,11 +83,8 @@ class Trainer:
             mesh = _auto_mesh(cfg)
         self.mesh = mesh
         self.writer = writer or MetricWriter(cfg.logs_dir)
-        compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                         else None)
-        self.model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
-                           n_classes=cfg.number_low_frequency_cases,
-                           dtype=compute_dtype)
+        from season_nerf_tpu.models.tnerf import model_from_config
+        self.model = model_from_config(cfg)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_key = jax.random.split(self.rng)
         self.variables_template = self.model.init(

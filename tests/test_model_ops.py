@@ -338,3 +338,53 @@ def test_masked_ssim_bounded():
                                jnp.asarray(np.where(mask[..., None], b, 0)),
                                mask=jnp.asarray(mask)))
         assert -1.0 <= s <= 1.0 + 1e-5, s
+
+
+# --- fast_math -------------------------------------------------------------
+
+def test_fast_sin_accuracy_and_grad():
+    from season_nerf_tpu.ops.fast_math import fast_sin, fast_cos
+    # SIREN pre-activations are BatchNorm'd to a few sigma; cover far beyond
+    x = jnp.asarray(np.linspace(-60.0, 60.0, 40001), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fast_sin(x)), np.sin(x),
+                               atol=4e-6)
+    np.testing.assert_allclose(np.asarray(fast_cos(x)), np.cos(x),
+                               atol=4e-6)
+    # derivative: d sin = cos (and composes to 2nd order)
+    g = jax.grad(lambda v: fast_sin(v).sum())(x[::100])
+    np.testing.assert_allclose(np.asarray(g), np.cos(x[::100]), atol=4e-6)
+    g2 = jax.grad(jax.grad(lambda v: fast_sin(v)))(0.3)
+    np.testing.assert_allclose(float(g2), -np.sin(0.3), atol=4e-6)
+
+
+def test_fast_sine_model_matches_exact():
+    """A fast_sine TNeRF agrees with the exact-sin network on identical
+    params to well below training noise."""
+    kw = dict(layer_width=32, n_classes=4)
+    m_exact = tnerf.TNeRF(**kw)
+    m_fast = tnerf.TNeRF(fast_sine=True, **kw)
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (64, 3), minval=-1, maxval=1)
+    sun = jnp.tile(jnp.asarray([[0.3, 0.2, 0.93]]), (64, 1))
+    t4 = jnp.tile(jnp.asarray([[0.9, 0.43, 1.0, 0.0]]), (64, 1))
+    variables = m_exact.init(key, x, sun, t4, train=False)
+    out_e = m_exact.apply(variables, x, sun, t4, train=False)
+    out_f = m_fast.apply(variables, x, sun, t4, train=False)
+    for k in ("rho", "col", "vis", "sky", "class_probs"):
+        np.testing.assert_allclose(np.asarray(out_e[k]), np.asarray(out_f[k]),
+                                   atol=1e-4)
+
+
+def test_model_from_config_roundtrip(tmp_path):
+    """opts.json round-trip reconstructs the same architecture the Trainer
+    built (fast_sine / compute_dtype / fc_layers all carried)."""
+    from season_nerf_tpu.config import Config
+    cfg = Config(fc_units=48, fc_layers=6, number_low_frequency_cases=5,
+                 fast_sine=True, compute_dtype="bfloat16")
+    p = str(tmp_path / "opts.json")
+    cfg.save_json(p)
+    cfg2 = Config.load_json(p)
+    m = tnerf.model_from_config(cfg2)
+    assert m.layer_width == 48 and m.n_layers == 6
+    assert m.n_classes == 5 and m.fast_sine
+    assert m.dtype == jnp.bfloat16

@@ -53,6 +53,27 @@ def test_mesh_matches_single_device(setup):
                                    rtol=2e-3, atol=1e-5)
 
 
+def test_mesh_render_matches_single_device():
+    """Serving-side data parallelism: a Renderer given the 8-device mesh
+    produces the same image as the single-device path (rays are independent;
+    sharding must be semantics-free)."""
+    import jax.numpy as jnp
+    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.render.renderer import Renderer
+
+    model = TNeRF(layer_width=32, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    kw = dict(n_samples=8, chunk=300)   # not divisible by 8: rounding path
+    r1 = Renderer(model, variables, **kw)
+    r8 = Renderer(model, variables, mesh=make_mesh(8), **kw)
+    assert r8.chunk % 8 == 0
+    out1 = r1.render_img((70.0, 40.0), (45.0, 180.0), 0.5, 24)
+    out8 = r8.render_img((70.0, 40.0), (45.0, 180.0), 0.5, 24)
+    for k in ("Col_Img", "Shadow_Mask", "Height"):
+        np.testing.assert_allclose(out1[k], out8[k], rtol=1e-5, atol=1e-5)
+
+
 def test_shard_batch_layout():
     mesh = make_mesh(8)
     import jax.numpy as jnp

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--fc", type=int, default=512)
     p.add_argument("--n_samples", type=int, default=96)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--fast_sine", action="store_true",
+                   help="polynomial sin activation (ops/fast_math.py)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard rays over this many devices (0 = no mesh)")
     args = p.parse_args()
 
     import jax
@@ -34,10 +38,16 @@ def main():
     from season_nerf_tpu.models.tnerf import TNeRF
     from season_nerf_tpu.render.renderer import Renderer
 
-    model = TNeRF(layer_width=args.fc, n_classes=4)
+    model = TNeRF(layer_width=args.fc, n_classes=4,
+                  fast_sine=args.fast_sine)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                            jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
-    r = Renderer(model, variables, n_samples=args.n_samples, chunk=args.chunk)
+    mesh = None
+    if args.mesh > 1:
+        from season_nerf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
+    r = Renderer(model, variables, n_samples=args.n_samples, chunk=args.chunk,
+                 mesh=mesh)
 
     # warmup/compile
     r.render_img((70.0, 40.0), (45.0, 180.0), 0.5, args.size)
@@ -52,7 +62,9 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "config": f"{args.size}x{args.size}x{args.n_samples}, "
-                  f"chunk {args.chunk}, fc {args.fc}",
+                  f"chunk {args.chunk}, fc {args.fc}"
+                  f"{', fast_sine' if args.fast_sine else ''}"
+                  f"{f', mesh {args.mesh}' if args.mesh > 1 else ''}",
         "device": str(jax.devices()[0]),
     }))
 

@@ -35,7 +35,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from season_nerf_tpu.config import Config
-    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.models.tnerf import model_from_config
     from season_nerf_tpu.train.state import restore_variables
     from season_nerf_tpu.render.renderer import Renderer
     from season_nerf_tpu.render.movie import (MovieScript, render_movie,
@@ -44,8 +44,7 @@ def main():
     from season_nerf_tpu.data.ingest import load_w2c_w2l
 
     cfg = Config.load_json(os.path.join(args.Model_Location, "opts.json"))
-    model = TNeRF(layer_width=cfg.fc_units, n_layers=cfg.fc_layers,
-                  n_classes=cfg.number_low_frequency_cases)
+    model = model_from_config(cfg)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
     variables, _ = restore_variables(

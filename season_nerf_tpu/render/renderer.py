@@ -28,6 +28,7 @@ import numpy as np
 from season_nerf_tpu.models.tnerf import TNeRF
 from season_nerf_tpu.ops import rendering
 from season_nerf_tpu.ops.sampling import sample_coarse, out_of_cube
+from season_nerf_tpu.utils import heartbeat
 
 
 def encode_time(year_frac, day_frac=0.0):
@@ -242,6 +243,7 @@ class Renderer:
                                       self._put(bb), self._put(ss),
                                       self._put(t44)))
             pads.append(pad)
+            heartbeat.beat()   # liveness for tools/watchdog_train.py
         outs = {k: [] for k in extra_keys}
         for res, pad in zip(jax.device_get(device_outs), pads):
             for k in extra_keys:
@@ -354,6 +356,7 @@ class Renderer:
                 dev.append(self._exact_solar_chunk(
                     self.variables, self._put(part), sv))
                 pads.append(pad)
+                heartbeat.beat()
             chunks = [v[:v.shape[0] - pad] if pad else v
                       for v, pad in zip(jax.device_get(dev), pads)]
             res["exact_solar"] = np.concatenate(chunks, 0).reshape(

@@ -83,6 +83,9 @@ class Trainer:
             mesh = _auto_mesh(cfg)
         self.mesh = mesh
         self.writer = writer or MetricWriter(cfg.logs_dir)
+        if cfg.logs_dir:
+            from season_nerf_tpu.utils import heartbeat
+            heartbeat.set_path(os.path.join(cfg.logs_dir, "heartbeat"))
         from season_nerf_tpu.models.tnerf import model_from_config
         self.model = model_from_config(cfg)
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -346,6 +349,7 @@ class Trainer:
         end = min(end, cfg.max_train_steps)
         pending = None
         while self.step < end:
+            self._beat()
             phase = phase_lib.phase_at(self.phases, self.step)
             if self._phase is None or phase.index != self._phase.index:
                 self._log_pending(pending)
@@ -379,6 +383,13 @@ class Trainer:
             self.step_times.append(time.perf_counter() - t0)
         self._log_pending(pending)
         return self.state
+
+    def _beat(self):
+        """Liveness heartbeat (utils/heartbeat): the host blocks on a device
+        fetch within ~log_every steps of a device/tunnel hang, so a stale
+        heartbeat is a reliable stall signal for tools/watchdog_train.py."""
+        from season_nerf_tpu.utils import heartbeat
+        heartbeat.beat()
 
     def _log_pending(self, pending):
         if pending is None:

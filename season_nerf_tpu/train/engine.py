@@ -504,6 +504,7 @@ class Trainer:
             self.rng, k = jax.random.split(self.rng)
             dev.append(render_chunk(self.state, jnp.asarray(part), k))
             parts.append((part, pad))
+            self._beat()
         for (col, z), (part, pad) in zip(jax.device_get(dev), parts):
             if pad:
                 col, z, part = col[:-pad], z[:-pad], part[:-pad]

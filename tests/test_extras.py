@@ -1,5 +1,6 @@
 """HSLuv conversion, inverse-density weighting, fine importance sampling."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -91,3 +92,48 @@ def test_eval_rays_with_importance():
     # per-ray sample points are sorted along the ray (z decreasing)
     z = np.asarray(out["pts"])[..., 2]
     assert (np.diff(z, axis=1) <= 1e-5).all()
+
+
+def test_watchdog_restarts_stalled_run(tmp_path):
+    """tools/watchdog_train.py kills a run whose heartbeat goes stale and
+    relaunches it; a second attempt that exits 0 ends the loop."""
+    import subprocess
+    import sys
+    import os
+    fake = tmp_path / "fake.py"
+    fake.write_text(
+        "import os, sys, time\n"
+        "d = sys.argv[1]\n"
+        "hb = os.path.join(d, 'heartbeat')\n"
+        "m = os.path.join(d, 'attempt')\n"
+        "k = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(k + 1))\n"
+        "if k >= 1:\n"
+        "    sys.exit(0)\n"
+        "for _ in range(5):\n"
+        "    open(hb, 'w').close(); os.utime(hb); time.sleep(0.1)\n"
+        "time.sleep(600)\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wd = os.path.join(root, "tools", "watchdog_train.py")
+    r = subprocess.run(
+        [sys.executable, wd, "--logs_dir", str(tmp_path),
+         "--stall_sec", "5", "--grace_sec", "30", "--poll_sec", "1", "--",
+         sys.executable, str(fake), str(tmp_path)],
+        capture_output=True, text=True, timeout=180)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "[watchdog] stall" in r.stdout
+    assert (tmp_path / "attempt").read_text() == "2"
+
+
+def test_heartbeat_utility(tmp_path):
+    from season_nerf_tpu.utils import heartbeat
+    p = str(tmp_path / "hb")
+    heartbeat.set_path(p)
+    heartbeat.beat()
+    assert os.path.exists(p)
+    t0 = os.path.getmtime(p)
+    import time
+    time.sleep(0.05)
+    heartbeat.beat()
+    assert os.path.getmtime(p) >= t0
+    heartbeat.set_path(None)   # leave no global state for other tests

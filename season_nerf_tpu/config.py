@@ -91,6 +91,9 @@ class Config:
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all,
     #                                    1 = force single-device (no mesh)
     compute_dtype: str = "float32"     # or "bfloat16" for the trunk matmuls
+    compile_cache: bool = True         # persistent XLA compile cache under
+    #                                    <IO_Location>/Cache/jax — restarts
+    #                                    (watchdog, resume) skip recompiles
     fast_sine: bool = False            # polynomial sin activation (exact to
     #                                    f32 on the SIREN pre-activation
     #                                    range; ops/fast_math.py) — the VPU
@@ -114,6 +117,20 @@ class Config:
         if create:
             for d in (self.cache_dir, self.logs_dir):
                 os.makedirs(d, exist_ok=True)
+        if self.compile_cache and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+            # persistent compiled-program cache: a watchdog restart or a
+            # resumed run replays its compiles from disk instead of paying
+            # (and risking) the remote compile again.  Env var wins so
+            # operators can redirect or disable it.
+            cache = os.path.join(io, "Cache", "jax")
+            os.makedirs(cache, exist_ok=True)
+            try:
+                import jax
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 2.0)
+            except Exception:
+                pass
         return self
 
     # --- opts.json round trip ----------------------------------------------

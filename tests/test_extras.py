@@ -137,3 +137,19 @@ def test_heartbeat_utility(tmp_path):
     heartbeat.beat()
     assert os.path.getmtime(p) >= t0
     heartbeat.set_path(None)   # leave no global state for other tests
+
+
+def test_compile_cache_configured(tmp_path):
+    """resolve_dirs points the persistent XLA compile cache at
+    <IO_Location>/Cache/jax (restart/resume robustness)."""
+    from season_nerf_tpu.config import Config
+    import jax
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cfg = Config(IO_Location=str(tmp_path), exp_name="x")
+        cfg.resolve_dirs()
+        assert os.path.isdir(os.path.join(str(tmp_path), "Cache", "jax"))
+        assert jax.config.jax_compilation_cache_dir == os.path.join(
+            str(tmp_path), "Cache", "jax")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

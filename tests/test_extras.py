@@ -153,3 +153,38 @@ def test_compile_cache_configured(tmp_path):
             str(tmp_path), "Cache", "jax")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_quality_report_parses_tables(tmp_path):
+    """tools/quality_report.py turns a run dir's score tables into a
+    markdown report with parsed headline numbers."""
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "quality_report", os.path.join(root, "tools", "quality_report.py"))
+    qr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qr)
+
+    d = tmp_path / "run"
+    (d / "Output").mkdir(parents=True)
+    (d / "Detailed_Output").mkdir()
+    (d / "opts.json").write_text(
+        '{"exp_name": "t", "max_train_steps": 10, "batch_size": 64, '
+        '"n_samples": 8, "fc_units": 32, "fc_layers": 8, '
+        '"site_name": "SYNTH_X", "synth_views": 4}')
+    (d / "Output" / "Image_scores.txt").write_text(
+        "Image quality by variant\n\n"
+        "Variant               PSNR avg    PSNR best    PSNR worst    SSIM avg    EM avg    L2 avg\n"
+        "------------------  ----------  -----------  ------------  ----------  --------  --------\n"
+        "Aligned_Shadow_Img     18.0100      19.5000       16.2000      0.7700    0.1200    0.0500\n"
+        "\nLaTeX:\nAligned_Shadow_Img & 18.01 \\\\\n")
+    (d / "Detailed_Output" / "HM_scores.txt").write_text(
+        "Height-map accuracy (meters)\n\n"
+        "Variant            MAE    RMSE    Acc<=1m    Median\n"
+        "--------------  ------  ------  ---------  --------\n"
+        "NeRF (aligned)  1.1800  1.6000     0.5600    0.8700\n")
+    rep = qr.build_report(str(d))
+    assert "PSNR 18.01" in rep
+    assert "SSIM 0.770" in rep
+    assert "MAE 1.18 m" in rep and "56% within 1 m" in rep
+    assert "## Image quality" in rep

@@ -22,7 +22,9 @@ def _main():
                    help="sun elevation azimuth (deg)")
     p.add_argument("--tf", type=str, default="07/01",
                    help="time of year, MM/DD or fraction")
-    p.add_argument("--Output_Size", type=int, default=256)
+    # reference contract: 1 int (square) or 3 ints H W n_samples
+    # (main_run_Season_NeRF.py:26 default (256,256,96))
+    p.add_argument("--Output_Size", type=int, nargs="+", default=[256])
     p.add_argument("--Save_Name", type=str, default=None)
     p.add_argument("--exact_shadow", action="store_true")
     p.add_argument("--Force_CPU", action="store_true")
@@ -32,9 +34,11 @@ def _main():
         jax.config.update("jax_platforms", "cpu")
 
     from season_nerf_tpu.cli import render_pretrained
+    out_size = (args.Output_Size[0] if len(args.Output_Size) == 1
+                else tuple(args.Output_Size))
     shown, imgs = render_pretrained(
         args.Model_Location, tuple(args.VA), tuple(args.SA), args.tf,
-        out_size=args.Output_Size, exact_shadow=args.exact_shadow,
+        out_size=out_size, exact_shadow=args.exact_shadow,
         save_name=args.Save_Name)
     if args.Save_Name is None:
         out = os.path.join(args.Model_Location, "render.png")

@@ -233,9 +233,14 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
 
 def render_pretrained(model_dir: str, va: Tuple[float, float],
                       sa: Tuple[float, float], tf: str,
-                      out_size: int = 256, exact_shadow: bool = False,
+                      out_size=256, exact_shadow: bool = False,
                       save_name: Optional[str] = None):
-    """main_run_Season_NeRF.py equivalent: novel view from a model dir."""
+    """main_run_Season_NeRF.py equivalent: novel view from a model dir.
+
+    ``out_size`` follows the reference's --Output_Size contract
+    (main_run_Season_NeRF.py:26): an int renders square at the model's
+    n_samples; (H, W) sets the frame; (H, W, S) also overrides
+    samples-per-ray."""
     import jax.numpy as jnp
     from season_nerf_tpu.train.state import restore_variables
     from season_nerf_tpu.render.renderer import Renderer, \
@@ -269,14 +274,19 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
             f"--tf must be MM/DD (e.g. 07/19) or a year fraction in [0,1); "
             f"got {tf!r}")
 
+    size = ((out_size, out_size, cfg.n_samples)
+            if np.isscalar(out_size) else tuple(out_size))
+    hw = (size[0], size[1] if len(size) > 1 else size[0])
+    n_samples = size[2] if len(size) > 2 else cfg.n_samples
+
     from season_nerf_tpu.train.engine import _auto_mesh
-    renderer = Renderer(model, variables, n_samples=cfg.n_samples,
+    renderer = Renderer(model, variables, n_samples=n_samples,
                         chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
                         use_hsluv=cfg.use_HSLuv, mesh=_auto_mesh(cfg))
     comp = renderer.component_render_by_dir(
-        tuple(va), tuple(sa), year_frac, (out_size, out_size),
+        tuple(va), tuple(sa), year_frac, hw,
         angles_to_vec=angles_to_vec, exact_solar=exact_shadow)
-    imgs = images_from_components(comp, (out_size, out_size),
+    imgs = images_from_components(comp, hw,
                                   classic_shadows=cfg.Solar_Type_2)
     shown = imgs["Season_Adj_Img"] * imgs["Shadow_Adjust"]
     if save_name:

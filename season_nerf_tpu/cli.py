@@ -297,16 +297,29 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
     return shown, imgs
 
 
-def setup_data(zip_dir: str, io_location: str):
+def setup_data(zip_dir: str, io_location: str, code_data_path=None):
     """main_setup_data.py equivalent: unpack DFC2019 Track-3 zips into
     IEEE_Data/Images and the repo Data.zip (cached RPCs + region lists)
-    into the cache (main_setup_data.py:22-82)."""
+    into the cache (main_setup_data.py:22-82).
+
+    ``code_data_path``: where the repo's Data.zip lives (the reference's
+    --code_data_path flag); searched after ``zip_dir`` itself and this
+    repository's root."""
     img_out = os.path.join(io_location, "IEEE_Data", "Images")
     os.makedirs(img_out, exist_ok=True)
-    for fname in sorted(os.listdir(zip_dir)):
-        if not fname.endswith(".zip"):
+    zips = [os.path.join(zip_dir, f) for f in sorted(os.listdir(zip_dir))
+            if f.endswith(".zip")]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for extra in (code_data_path, repo_root):
+        if not extra:
             continue
-        with zipfile.ZipFile(os.path.join(zip_dir, fname)) as z:
+        dz = os.path.join(extra, "Data.zip")
+        if os.path.exists(dz) and dz not in zips and not any(
+                os.path.basename(z) == "Data.zip" for z in zips):
+            zips.append(dz)
+    for path in zips:
+        fname = os.path.basename(path)
+        with zipfile.ZipFile(path) as z:
             for member in z.namelist():
                 base = os.path.basename(member)
                 if not base:

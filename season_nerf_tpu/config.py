@@ -183,7 +183,8 @@ def get_opts(argv=None, defaults: Config = None, **overrides) -> Config:
 
 
 def lite_defaults() -> Config:
-    """The main_lite.py quick-train defaults (main_lite.py:67-78): 5000
-    steps, lr x3, 10 saves."""
+    """The main_lite.py quick-train defaults (main_lite.py:63-78): 5000
+    steps, lr x3, 10 saves, train/val images downscaled 4x/8x."""
     return Config(exp_name="OMA_281_Lite", site_name="OMA_281",
-                  max_train_steps=5000, lr=3 * 10 ** -4.86, n_saves=10)
+                  max_train_steps=5000, lr=3 * 10 ** -4.86, n_saves=10,
+                  img_training_downscale=4, img_validation_downscale=8)

@@ -211,3 +211,16 @@ def test_area_overviews(trained_dir, tmp_path):
     from season_nerf_tpu.eval.regional import area_overviews
     out = area_overviews([logs], str(tmp_path / "overview.png"), out_size=8)
     assert os.path.exists(out)
+
+
+def test_lite_defaults_match_reference():
+    """main_lite.py defaults (reference main_lite.py:63-78): 5000 steps,
+    3x lr, 10 saves, 4x/8x image downscales."""
+    from season_nerf_tpu.config import lite_defaults
+    cfg = lite_defaults()
+    assert cfg.max_train_steps == 5000
+    assert abs(cfg.lr - 3 * 10 ** -4.86) < 1e-9
+    assert cfg.n_saves == 10
+    assert cfg.img_training_downscale == 4
+    assert cfg.img_validation_downscale == 8
+    assert cfg.site_name == "OMA_281" and cfg.exp_name == "OMA_281_Lite"

@@ -124,3 +124,89 @@ def test_sigma_only_parity(ref_model, ours_from_ref):
     got = model.apply(variables, jnp.asarray(x), train=False,
                       method="sigma_only")
     np.testing.assert_allclose(np.asarray(got), rho_t.numpy(), atol=1e-4)
+
+
+def test_composite_render_parity(ref_model, ours_from_ref):
+    """Beyond-network parity: the full render composite — deterministic
+    coarse sampling, transmittance PV/PE/PS, and the gated solar composite
+    (All_in_One_Eval.eval, Eval_Tools_2.py:165-252, train_mode=False) —
+    matches the reference end to end on identical rays and weights."""
+    torch, net = ref_model
+    model, variables = ours_from_ref
+    import types
+    import jax.numpy as jnp
+    from season_nerf_tpu.ops import rendering
+
+    from T_NeRF_Full_2.Eval_Tools_2 import All_in_One_Eval
+
+    args = types.SimpleNamespace(n_samples=16, Use_Reg=False,
+                                 Solar_Type_2=False, Use_MSE_loss=True)
+    evaluator = All_in_One_Eval(args, torch.device("cpu"), n_steps=100,
+                                use_prior=False, ada_loss=None,
+                                H=np.eye(4), WC=np.zeros(3))
+
+    rng = np.random.default_rng(7)
+    R = 12
+    xy = rng.uniform(-0.9, 0.9, (R, 2)).astype(np.float32)
+    tops = np.concatenate([xy, np.ones((R, 1), np.float32)], 1)
+    bots = np.concatenate([xy + rng.uniform(-0.05, 0.05, (R, 2)).astype(np.float32),
+                           -np.ones((R, 1), np.float32)], 1)
+    sun = np.tile(np.asarray([[0.3, 0.1, 0.95]], np.float32), (R, 1))
+    sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+    t4 = np.tile(np.asarray([[0.8, 0.6, 1.0, 0.0]], np.float32), (R, 1))
+
+    data = {"Top": torch.tensor(tops), "Bot": torch.tensor(bots),
+            "Sun_Angle": torch.tensor(sun), "Time_Encoded": torch.tensor(t4)}
+    with torch.no_grad():
+        ref = evaluator.eval(data, net, current_step=50, train_mode=False)
+
+    out, _ = rendering.eval_rays(
+        model, variables, None, jnp.asarray(tops), jnp.asarray(bots),
+        jnp.asarray(sun), jnp.asarray(t4), n_samples=16, train=False,
+        classic_solar=False)
+
+    np.testing.assert_allclose(np.asarray(out["pts"]),
+                               ref["sample_pts"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["deltas"]),
+                               ref["deltas"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["rho"]), ref["Rho"].numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["ps"]), ref["PS"].numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["rendered"]),
+                               ref["Rendered_Col"].numpy(), atol=1e-4)
+
+
+def test_composite_render_parity_classic_solar(ref_model, ours_from_ref):
+    """Same as above through the classic S-NeRF irradiance composite
+    (Solar_Type_2, Eval_Tools_2.py:212-213)."""
+    torch, net = ref_model
+    model, variables = ours_from_ref
+    import types
+    import jax.numpy as jnp
+    from season_nerf_tpu.ops import rendering
+    from T_NeRF_Full_2.Eval_Tools_2 import All_in_One_Eval
+
+    args = types.SimpleNamespace(n_samples=12, Use_Reg=False,
+                                 Solar_Type_2=True, Use_MSE_loss=True)
+    evaluator = All_in_One_Eval(args, torch.device("cpu"), n_steps=100,
+                                use_prior=False, ada_loss=None,
+                                H=np.eye(4), WC=np.zeros(3))
+    rng = np.random.default_rng(11)
+    R = 8
+    xy = rng.uniform(-0.8, 0.8, (R, 2)).astype(np.float32)
+    tops = np.concatenate([xy, np.ones((R, 1), np.float32)], 1)
+    bots = np.concatenate([xy, -np.ones((R, 1), np.float32)], 1)
+    sun = np.tile(np.asarray([[0.0, 0.2, 0.98]], np.float32), (R, 1))
+    sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+    t4 = np.tile(np.asarray([[0.1, 0.99, 1.0, 0.0]], np.float32), (R, 1))
+    data = {"Top": torch.tensor(tops), "Bot": torch.tensor(bots),
+            "Sun_Angle": torch.tensor(sun), "Time_Encoded": torch.tensor(t4)}
+    with torch.no_grad():
+        ref = evaluator.eval(data, net, current_step=50, train_mode=False)
+    out, _ = rendering.eval_rays(
+        model, variables, None, jnp.asarray(tops), jnp.asarray(bots),
+        jnp.asarray(sun), jnp.asarray(t4), n_samples=12, train=False,
+        classic_solar=True)
+    np.testing.assert_allclose(np.asarray(out["rendered"]),
+                               ref["Rendered_Col"].numpy(), atol=1e-4)

@@ -210,3 +210,57 @@ def test_composite_render_parity_classic_solar(ref_model, ours_from_ref):
         classic_solar=True)
     np.testing.assert_allclose(np.asarray(out["rendered"]),
                                ref["Rendered_Col"].numpy(), atol=1e-4)
+
+
+def test_prior_branch_parity(ref_model, ours_from_ref):
+    """Phase-1 DSM-prior branch parity: Supervised_Sample sigma from the
+    height map, the supervised/merged transmittance chains, and the trust
+    blend Rho*t + Rho_sup*(1-t) (Eval_Tools_2.py:218-248,
+    T_NeRF_net_v2.py:175-181) match on identical rays, weights, and HM."""
+    torch, _ = ref_model
+    model, variables = ours_from_ref
+    import types
+    import jax.numpy as jnp
+    from season_nerf_tpu.ops import rendering
+    from T_NeRF_Full_2.T_NeRF_net_v2 import T_NeRF as RefTNeRF
+    from T_NeRF_Full_2.Eval_Tools_2 import All_in_One_Eval
+    from season_nerf_tpu.utils.torch_convert import load_reference_checkpoint
+
+    rng = np.random.default_rng(5)
+    hm = rng.uniform(-0.5, 0.5, (9, 9)).astype(np.float32)
+    torch.manual_seed(0)                      # same weights as the fixture
+    net = RefTNeRF(64, n_classes=4, HM=hm)
+    net.eval()
+    variables = load_reference_checkpoint(net.state_dict(), variables)
+
+    args = types.SimpleNamespace(n_samples=16, Use_Reg=False,
+                                 Solar_Type_2=False, Use_MSE_loss=True)
+    evaluator = All_in_One_Eval(args, torch.device("cpu"), n_steps=200,
+                                use_prior=True, ada_loss=None,
+                                H=np.eye(4), WC=np.zeros(3))
+    R = 10
+    xy = rng.uniform(-0.9, 0.9, (R, 2)).astype(np.float32)
+    tops = np.concatenate([xy, np.ones((R, 1), np.float32)], 1)
+    bots = np.concatenate([xy, -np.ones((R, 1), np.float32)], 1)
+    sun = np.tile(np.asarray([[0.1, 0.3, 0.94]], np.float32), (R, 1))
+    sun /= np.linalg.norm(sun, axis=1, keepdims=True)
+    t4 = np.tile(np.asarray([[0.5, 0.86, 1.0, 0.0]], np.float32), (R, 1))
+    data = {"Top": torch.tensor(tops), "Bot": torch.tensor(bots),
+            "Sun_Angle": torch.tensor(sun), "Time_Encoded": torch.tensor(t4)}
+    step = 80
+    with torch.no_grad():
+        ref = evaluator.eval(data, net, current_step=step, train_mode=False)
+
+    out, _ = rendering.eval_rays(
+        model, variables, None, jnp.asarray(tops), jnp.asarray(bots),
+        jnp.asarray(sun), jnp.asarray(t4), n_samples=16, train=False,
+        prior_hm=jnp.asarray(hm), model_trust=step / 200)
+
+    np.testing.assert_allclose(np.asarray(out["ps_sup"]),
+                               ref["PS_Supervised"].numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["rho_merged"]),
+                               ref["Rho_Merged"].numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["ps_merged"]),
+                               ref["PS_Merged"].numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["rendered_merged"]),
+                               ref["Rendered_Col_Merged"].numpy(), atol=1e-4)

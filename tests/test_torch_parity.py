@@ -264,3 +264,63 @@ def test_prior_branch_parity(ref_model, ours_from_ref):
                                ref["PS_Merged"].numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["rendered_merged"]),
                                ref["Rendered_Col_Merged"].numpy(), atol=1e-4)
+
+
+def test_solar_branch_parity(ref_model, ours_from_ref):
+    """Solar-correction pass parity (eval_Rho_Only, Eval_Tools_2.py:297-337):
+    include-end sampling, the trunk-frozen forward_Solar outputs, and the
+    exact transmittance targets PV/PE match on fixed solar rays — both
+    without a prior and with the prior's out-of-cube-keeps-network-rho
+    merge."""
+    torch, _ = ref_model
+    model, variables = ours_from_ref
+    import types
+    import jax.numpy as jnp
+    from season_nerf_tpu.ops import rendering
+    from T_NeRF_Full_2.T_NeRF_net_v2 import T_NeRF as RefTNeRF
+    from T_NeRF_Full_2.Eval_Tools_2 import All_in_One_Eval
+    from season_nerf_tpu.utils.torch_convert import load_reference_checkpoint
+
+    rng = np.random.default_rng(13)
+    hm = rng.uniform(-0.4, 0.6, (7, 7)).astype(np.float32)
+    torch.manual_seed(0)
+    net = RefTNeRF(64, n_classes=4, HM=hm)
+    net.eval()
+    variables = load_reference_checkpoint(net.state_dict(), variables)
+
+    # solar rays exactly like create_solor_rays_uniform: start at z=+1,
+    # end = start - 2*(v/v_z) (z=-1, often out of cube in x/y)
+    n = 10
+    sun = rng.normal(size=(n, 3))
+    sun[:, 2] = np.abs(sun[:, 2]) + 0.3
+    sun = (sun / np.linalg.norm(sun, axis=1, keepdims=True)).astype(np.float32)
+    starts = np.concatenate(
+        [rng.uniform(-1, 1, (n, 2)), np.ones((n, 1))], 1).astype(np.float32)
+    ends = (starts - 2 * sun / sun[:, 2:3]).astype(np.float32)
+    t4 = np.tile(np.asarray([[1.0, 0.0, 1.0, 0.0]], np.float32), (n, 1))
+    data = {"Top": torch.tensor(starts), "Bot": torch.tensor(ends),
+            "Sun_Angle": torch.tensor(sun), "Time_Encoded": torch.tensor(t4)}
+
+    for use_prior, step in ((False, 0), (True, 80)):
+        args = types.SimpleNamespace(n_samples=16, Use_Reg=False,
+                                     Solar_Type_2=False, Use_MSE_loss=True)
+        ev = All_in_One_Eval(args, torch.device("cpu"), n_steps=200,
+                             use_prior=use_prior, ada_loss=None,
+                             H=np.eye(4), WC=np.zeros(3))
+        with torch.no_grad():
+            ref = ev.eval_Rho_Only(data, net, train_mode=False,
+                                   current_step=step)
+        out, _ = rendering.eval_rho_only(
+            model, variables, None, jnp.asarray(starts), jnp.asarray(ends),
+            jnp.asarray(sun), None, n_samples=16, train=False,
+            prior_hm=jnp.asarray(hm) if use_prior else None,
+            model_trust=step / 200)
+        np.testing.assert_allclose(np.asarray(out["vis"]),
+                                   ref["Solar_Vis"].numpy(), atol=1e-4,
+                                   err_msg=f"use_prior={use_prior}")
+        np.testing.assert_allclose(np.asarray(out["pv_exact"]),
+                                   ref["PV_Exact"].numpy(), atol=1e-3,
+                                   err_msg=f"use_prior={use_prior}")
+        np.testing.assert_allclose(np.asarray(out["pe"]),
+                                   ref["PE"].numpy(), atol=1e-3,
+                                   err_msg=f"use_prior={use_prior}")

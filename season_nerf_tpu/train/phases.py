@@ -54,11 +54,12 @@ def output_locations(n_steps: int, n_outputs: int, min_gap: int = 1000):
     if n_outputs <= 0:
         return np.array([n_steps])
     if n_outputs * min_gap >= n_steps:
-        return np.unique(np.linspace(1, n_steps, n_outputs, dtype=int))
+        return np.unique(np.linspace(1, n_steps, n_outputs + 1,
+                                     dtype=int)[1:])
     alpha = np.log(n_steps) / np.log(n_outputs)
     ans = (np.arange(1, n_outputs + 1) ** alpha).astype(int)
     ans[-1] = n_steps
-    lin = np.arange(n_outputs) * min_gap + 1
+    lin = np.arange(1, n_outputs + 1) * min_gap
     return np.unique(np.maximum(ans, lin))
 
 

@@ -388,3 +388,24 @@ def test_model_from_config_roundtrip(tmp_path):
     assert m.layer_width == 48 and m.n_layers == 6
     assert m.n_classes == 5 and m.fast_sine
     assert m.dtype == jnp.bfloat16
+
+
+def test_output_locations_match_reference():
+    """Save-point schedule parity with misc.get_output_loc_lin_first
+    (misc.py:35-53): log-spaced with a linear floor starting at min_gap,
+    and pure-linspace when the floor fills the budget."""
+    from season_nerf_tpu.train.phases import output_locations
+
+    def ref(n_steps, n_outputs, min_gap):
+        if n_outputs * min_gap >= n_steps:
+            return np.linspace(1, n_steps, n_outputs + 1, dtype=int)[1:]
+        alpha = np.log(n_steps) / np.log(n_outputs)
+        ans = (np.arange(1, n_outputs + 1) ** alpha).astype(int)
+        ans[-1] = n_steps
+        return np.maximum(ans, np.arange(1, n_outputs + 1) * min_gap)
+
+    for n_steps in (1500, 5000, 40000, 50000):
+        for n_out in (1, 4, 10, 20):
+            np.testing.assert_array_equal(
+                output_locations(n_steps, n_out, 1000),
+                np.unique(ref(n_steps, n_out, 1000)))

@@ -29,6 +29,8 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--fast_sine", action="store_true",
                    help="polynomial sin activation (ops/fast_math.py)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 matmul compute dtype for the trunk")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard rays over this many devices (0 = no mesh)")
     args = p.parse_args()
@@ -39,7 +41,8 @@ def main():
     from season_nerf_tpu.render.renderer import Renderer
 
     model = TNeRF(layer_width=args.fc, n_classes=4,
-                  fast_sine=args.fast_sine)
+                  fast_sine=args.fast_sine,
+                  dtype=jnp.bfloat16 if args.bf16 else None)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
                            jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
     mesh = None
@@ -64,6 +67,7 @@ def main():
         "config": f"{args.size}x{args.size}x{args.n_samples}, "
                   f"chunk {args.chunk}, fc {args.fc}"
                   f"{', fast_sine' if args.fast_sine else ''}"
+                  f"{', bf16' if args.bf16 else ''}"
                   f"{f', mesh {args.mesh}' if args.mesh > 1 else ''}",
         "device": str(jax.devices()[0]),
     }))

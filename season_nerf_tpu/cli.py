@@ -114,11 +114,17 @@ def _prepare_real(cfg: Config):
                   else cfg.img_training_downscale
                   for i in range(len(site.cameras))]
     # cache name carries the row-shaping settings so config changes can't
-    # resurrect a stale table
+    # resurrect a stale table; the split digest covers the per-camera
+    # downscale assignment (which depends on test_idx, not just the two
+    # downscale ints — changing testing_size/testing_image_names must miss)
+    import hashlib
+    split_key = hashlib.sha1(
+        ",".join(map(str, downscales)).encode()).hexdigest()[:8]
     cache_name = (f"ray_table_ds{cfg.img_training_downscale}"
                   f"_v{cfg.img_validation_downscale}"
                   f"{'_hsluv' if cfg.use_HSLuv else ''}"
-                  f"{'_w' if cfg.weight_training_samples else ''}.npz")
+                  f"{'_w' if cfg.weight_training_samples else ''}"
+                  f"_s{split_key}.npz")
     table = build_ray_table(
         site.cameras, [c.image for c in site.cameras],
         downscales=downscales,
@@ -211,7 +217,7 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
     renderer = Renderer(model, variables, n_samples=cfg.n_samples,
                         chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
                         use_hsluv=cfg.use_HSLuv,
-                        mesh=trainer.mesh if trainer else _auto_mesh(cfg))
+                        mesh=trainer.mesh if trainer else _auto_mesh(cfg, strict=False))
 
     out_dir = os.path.join(cfg.logs_dir, "Output")
     analysis = analyze_model(
@@ -282,7 +288,7 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
     from season_nerf_tpu.train.engine import _auto_mesh
     renderer = Renderer(model, variables, n_samples=n_samples,
                         chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
-                        use_hsluv=cfg.use_HSLuv, mesh=_auto_mesh(cfg))
+                        use_hsluv=cfg.use_HSLuv, mesh=_auto_mesh(cfg, strict=False))
     comp = renderer.component_render_by_dir(
         tuple(va), tuple(sa), year_frac, hw,
         angles_to_vec=angles_to_vec, exact_solar=exact_shadow)

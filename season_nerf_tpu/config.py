@@ -117,20 +117,33 @@ class Config:
         if create:
             for d in (self.cache_dir, self.logs_dir):
                 os.makedirs(d, exist_ok=True)
-        if self.compile_cache and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-            # persistent compiled-program cache: a watchdog restart or a
-            # resumed run replays its compiles from disk instead of paying
-            # (and risking) the remote compile again.  Env var wins so
-            # operators can redirect or disable it.
-            cache = os.path.join(io, "Cache", "jax")
+        return self
+
+    def enable_compile_cache(self):
+        """Point JAX's persistent compiled-program cache at
+        ``<IO_Location>/Cache/jax`` — a watchdog restart or a resumed run
+        replays its compiles from disk instead of paying (and risking) the
+        remote compile again.
+
+        Mutates process-global JAX state, so it is called only from the CLI
+        entry point (``get_opts``) — merely constructing a Config (tests,
+        tools) must not repoint the global cache.  The
+        ``JAX_COMPILATION_CACHE_DIR`` env var wins so operators can redirect
+        or disable it."""
+        if not self.compile_cache or "JAX_COMPILATION_CACHE_DIR" in os.environ:
+            return self
+        cache = os.path.join(self.IO_Location, "Cache", "jax")
+        try:
             os.makedirs(cache, exist_ok=True)
-            try:
-                import jax
-                jax.config.update("jax_compilation_cache_dir", cache)
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 2.0)
-            except Exception:
-                pass
+            import jax
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception as e:
+            import logging
+            logging.getLogger(__name__).warning(
+                "could not enable the persistent XLA compile cache at %s: %s",
+                cache, e)
         return self
 
     # --- opts.json round trip ----------------------------------------------
@@ -178,6 +191,7 @@ def get_opts(argv=None, defaults: Config = None, **overrides) -> Config:
     for k, v in overrides.items():
         setattr(cfg, k, v)
     cfg.resolve_dirs()
+    cfg.enable_compile_cache()
     cfg.save_json()
     return cfg
 

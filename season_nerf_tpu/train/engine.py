@@ -44,16 +44,40 @@ from season_nerf_tpu.train.losses import LossStatics, season_nerf_loss
 from season_nerf_tpu.utils.logging import MetricWriter
 
 
-def _auto_mesh(cfg: Config):
+def _auto_mesh(cfg: Config, strict: bool = True):
     """Build the data-parallel mesh from the config (the production wiring
     the reference never had — it is single-GPU, SURVEY.md §2).
 
     ``mesh_shape=None`` uses every visible device; ``mesh_shape=1`` forces
-    single-device; the batch must divide evenly over the mesh."""
+    single-device; the batch must divide evenly over the mesh.  Degrading to
+    single-device is never silent: an explicit ``mesh_shape`` that cannot be
+    honored raises (warns when ``strict=False`` — the render-a-saved-model
+    path, where opts.json may record a larger training slice), and the auto
+    path warns — on an 8-chip slice a config typo must not quietly discard
+    7 chips."""
+    import warnings
     n_dev = len(jax.devices())
-    want = cfg.mesh_shape if cfg.mesh_shape is not None else n_dev
-    want = max(1, min(int(want), n_dev))
-    if want <= 1 or cfg.batch_size % want != 0:
+    explicit = cfg.mesh_shape is not None
+    want = cfg.mesh_shape if explicit else n_dev
+    want = max(1, int(want))
+    if explicit and want > n_dev:
+        msg = (f"mesh_shape={cfg.mesh_shape} but only {n_dev} device(s) are "
+               f"visible; lower mesh_shape or run on a larger slice")
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg + f" — clamping to {n_dev}", stacklevel=2)
+        explicit = False
+    want = min(want, n_dev)
+    if want > 1 and cfg.batch_size % want != 0:
+        msg = (f"batch_size={cfg.batch_size} is not divisible by the "
+               f"{want}-device mesh; pick a batch that is a multiple of "
+               f"{want}")
+        if explicit:
+            raise ValueError(msg)
+        warnings.warn(msg + " — FALLING BACK TO SINGLE-DEVICE TRAINING",
+                      stacklevel=2)
+        return None
+    if want <= 1:
         return None
     from season_nerf_tpu.parallel.mesh import make_mesh
     return make_mesh(n_devices=want)

@@ -140,7 +140,8 @@ def test_heartbeat_utility(tmp_path):
 
 
 def test_compile_cache_configured(tmp_path):
-    """resolve_dirs points the persistent XLA compile cache at
+    """enable_compile_cache (called by the CLI entry, not by mere Config
+    construction) points the persistent XLA compile cache at
     <IO_Location>/Cache/jax (restart/resume robustness)."""
     from season_nerf_tpu.config import Config
     import jax
@@ -148,6 +149,9 @@ def test_compile_cache_configured(tmp_path):
     try:
         cfg = Config(IO_Location=str(tmp_path), exp_name="x")
         cfg.resolve_dirs()
+        # resolving dirs alone must NOT mutate global jax state
+        assert jax.config.jax_compilation_cache_dir == prev
+        cfg.enable_compile_cache()
         assert os.path.isdir(os.path.join(str(tmp_path), "Cache", "jax"))
         assert jax.config.jax_compilation_cache_dir == os.path.join(
             str(tmp_path), "Cache", "jax")

@@ -85,3 +85,37 @@ def test_shard_batch_layout():
     assert y.addressable_shards[0].data.shape == (8, 22)
     r = jax.device_put(x, replicated_sharding(mesh))
     assert r.addressable_shards[0].data.shape == (64, 22)
+
+
+def test_auto_mesh_degradation_is_loud():
+    """_auto_mesh never degrades to single-device silently: explicit
+    mesh_shape that can't be honored raises; the auto path warns
+    (VERDICT r2 #6 / ADVICE r2)."""
+    import warnings
+    from season_nerf_tpu.train.engine import _auto_mesh
+
+    # explicit mesh_shape with an indivisible batch -> raise
+    with pytest.raises(ValueError, match="not divisible"):
+        _auto_mesh(Config(mesh_shape=8, batch_size=65))
+    # explicit mesh_shape exceeding visible devices -> raise
+    with pytest.raises(ValueError, match="device"):
+        _auto_mesh(Config(mesh_shape=999, batch_size=999 * 4))
+    # ...but the render-a-saved-model path clamps with a warning instead
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = _auto_mesh(Config(mesh_shape=999, batch_size=999 * 8),
+                          strict=False)
+    assert any("clamping" in str(x.message) for x in w)
+    assert mesh is not None and mesh.devices.size == 8
+    # auto path (mesh_shape=None) with an indivisible batch -> warn + None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = _auto_mesh(Config(batch_size=65))
+    assert mesh is None
+    assert any("SINGLE-DEVICE" in str(x.message) for x in w)
+    # happy path still builds the full mesh quietly
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = _auto_mesh(Config(batch_size=64))
+    assert mesh is not None and mesh.devices.size == 8
+    assert not w

@@ -44,6 +44,7 @@ def main():
             cur = getattr(cfg, key)
             setattr(cfg, key, type(cur)(val) if cur is not None else val)
         cfg.resolve_dirs()
+        cfg.enable_compile_cache()
         cfg.save_json()
         print(f"=== training {site} -> {cfg.logs_dir}")
         run_test(cfg)

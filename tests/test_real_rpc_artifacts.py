@@ -1,0 +1,147 @@
+"""The reference's *genuine* RPC artifacts (Data.zip: 746 per-site .ikono
+files + Testing_Regions lists, README.md:44-52) through our native parsers.
+
+The fabricated fixtures in test_real_branch_e2e.py exercise the code paths;
+this module catches real-format drift those fixtures cannot: every shipped
+.ikono must parse into a full 90-coefficient RPCModel, project/localize must
+round-trip on it, and the projective camera fit must reach the reference's
+own sub-pixel approximation accuracy (P_Img.py:373-386 test_accuracy,
+mg_pre_NeRF.py:125-135 Model Error Summary) over a site-sized window.
+
+DFC2019 imagery is not redistributable and is absent here; the RPC text
+artifacts are the real-data surface that IS available.
+"""
+
+import io
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from season_nerf_tpu.geometry.camera import fit_projective_dlt, project_P
+from season_nerf_tpu.geometry.rpc import RPCModel, parse_rpc_file
+
+DATA_ZIP = "/root/reference/Data.zip"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DATA_ZIP), reason="reference Data.zip not present")
+
+
+def _zip():
+    return zipfile.ZipFile(DATA_ZIP)
+
+
+def test_every_shipped_ikono_parses():
+    """All 746 genuine .ikono files parse into complete RPC models with
+    plausible WGS84 offsets (Omaha NE + Jacksonville FL, the DFC2019
+    cities)."""
+    with _zip() as z:
+        names = [n for n in z.namelist() if n.endswith(".ikono")]
+        assert len(names) >= 700, f"expected the full artifact set, got {len(names)}"
+        for n in names:
+            rpc = parse_rpc_file(z.read(n).decode())
+            assert isinstance(rpc, RPCModel)
+            for field in ("row_num", "row_den", "col_num", "col_den"):
+                assert np.asarray(getattr(rpc, field)).shape == (20,), \
+                    f"{n}: {field}"
+            # first denominator coefficient is 1 by RPC00B convention
+            assert float(np.asarray(rpc.row_den)[0]) == 1.0, n
+            assert float(np.asarray(rpc.col_den)[0]) == 1.0, n
+            # DFC2019 sites: Omaha NE (~41.3N) and Jacksonville FL (~30.3N)
+            assert 29.0 < float(rpc.lat_offset) < 42.5, n
+            assert -97.0 < float(rpc.lon_offset) < -81.0, n
+            assert -100.0 < float(rpc.alt_offset) < 1500.0, n
+
+
+def _site_samples():
+    """One corrected + one original .ikono per site."""
+    with _zip() as z:
+        names = [n for n in z.namelist() if n.endswith(".ikono")]
+        by_site = {}
+        for n in names:
+            site = n.split("/")[1]
+            kind = "corrected" if "corrected" in n else "original"
+            by_site.setdefault(site, {}).setdefault(kind, n)
+        picks = []
+        for site, kinds in sorted(by_site.items()):
+            for kind in ("corrected", "original"):
+                if kind in kinds:
+                    picks.append(kinds[kind])
+        return [(n, z.read(n).decode()) for n in picks]
+
+
+def _window_grid(rpc, half_px=1024, half_h=60.0, n=8):
+    """Pixel/height grid over a DFC-site-sized window centered on the RPC's
+    validity region (the regime mg_Sat_Img applies the RPC in: site crops
+    of ~2 km, heights within the scene's band)."""
+    r0, c0 = float(rpc.row_offset), float(rpc.col_offset)
+    h0 = float(rpc.alt_offset)
+    half_h = min(half_h, float(rpc.alt_scale))
+    rs = np.linspace(r0 - half_px, r0 + half_px, n)
+    cs = np.linspace(c0 - half_px, c0 + half_px, n)
+    hs = np.linspace(h0 - half_h, h0 + half_h, 5)
+    R, C, H = np.meshgrid(rs, cs, hs, indexing="ij")
+    return R.ravel(), C.ravel(), H.ravel()
+
+
+def test_localize_project_roundtrip_on_real_rpcs():
+    """Iterative localization inverts the real polynomials to deep
+    sub-pixel accuracy (the rpcm capability mg_Sat_Img.invert_rpc leans
+    on, reimplemented natively in geometry/rpc.py)."""
+    for name, text in _site_samples():
+        rpc = parse_rpc_file(text)
+        r, c, h = _window_grid(rpc, n=5)
+        lat, lon, alt = rpc.localize(r, c, h)
+        r2, c2 = rpc.project(lat, lon, alt)
+        err = np.hypot(r2 - r, c2 - c)
+        assert np.max(err) < 1e-3, f"{name}: max roundtrip {np.max(err):.2e} px"
+
+
+def test_projective_fit_subpixel_on_real_rpcs():
+    """The 3x4 projective approximation fitted from each real RPC
+    reproduces it to sub-pixel error over a site window — the accuracy
+    contract the reference checks per-site before training
+    (P_Img.test_accuracy -> mg_pre_NeRF Model Error Summary)."""
+    worst_mean, worst_max = 0.0, 0.0
+    for name, text in _site_samples():
+        rpc = parse_rpc_file(text)
+        # fit grid
+        r, c, h = _window_grid(rpc, n=8)
+        lat, lon, alt = rpc.localize(r, c, h)
+        P = fit_projective_dlt(lat, lon, alt, r, c)
+        # held-out denser test grid, offset from the fit grid
+        rt, ct, ht = _window_grid(rpc, half_px=900, half_h=50.0, n=11)
+        lat_t, lon_t, alt_t = rpc.localize(rt, ct, ht)
+        r_gt, c_gt = rpc.project(lat_t, lon_t, alt_t)
+        r_est, c_est = project_P(P, lat_t, lon_t, alt_t)
+        err = np.hypot(r_est - r_gt, c_est - c_gt)
+        mean_e, max_e = float(np.mean(err)), float(np.max(err))
+        worst_mean = max(worst_mean, mean_e)
+        worst_max = max(worst_max, max_e)
+        assert mean_e < 0.5, f"{name}: mean {mean_e:.3f} px"
+        assert max_e < 2.0, f"{name}: max {max_e:.3f} px"
+    # the projective model is genuinely a good fit on real geometry, not
+    # merely under the loose ceiling
+    assert worst_mean < 0.5 and worst_max < 2.0
+
+
+def test_testing_region_lists_parse():
+    """The shipped Testing_Regions lists (the reference's held-out-view
+    contract, mg_Pt_holder.py:165-167) parse and name real per-site
+    images that have matching .ikono artifacts."""
+    with _zip() as z:
+        lists = [n for n in z.namelist()
+                 if "Testing_Regions" in n and n.endswith(".txt")]
+        assert len(lists) == 8
+        ikonos = {os.path.basename(n) for n in z.namelist()
+                  if n.endswith(".ikono")}
+        for n in lists:
+            site = os.path.basename(n)[:-4]
+            names = [l.strip() for l in z.read(n).decode().splitlines()
+                     if l.strip()]
+            assert len(names) == 4, n
+            for img in names:
+                assert img.startswith(site), (n, img)
+                assert (f"rpc_{img}_original.ikono" in ikonos
+                        or f"rpc_{img}_corrected.ikono" in ikonos), img

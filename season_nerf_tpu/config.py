@@ -72,10 +72,12 @@ class Config:
     synth_views: int = 10
     synth_img_size: int = 96
     synth_grid: int = 96
-    save_point_val_renders: int = 2   # validation images rendered to the
-    #                                   metric writer at each save point
-    #                                   (mg_run_NeRF.py:148-227 renders all;
-    #                                   -1 = all, 0 = none)
+    save_point_val_renders: int = -1  # validation images rendered to the
+    #                                   metric writer at each save point:
+    #                                   -1 = all of them (the reference's
+    #                                   eval_img cadence, mg_run_NeRF.py:
+    #                                   148-227), 0 = none, N = cap for
+    #                                   smoke/bench configs
     remat_trunk: str = ""             # jax.checkpoint the network blocks in
     #                                   the train step: "full" (save nothing),
     #                                   "dots" (save matmul outputs, recompute
@@ -94,10 +96,15 @@ class Config:
     compile_cache: bool = True         # persistent XLA compile cache under
     #                                    <IO_Location>/Cache/jax — restarts
     #                                    (watchdog, resume) skip recompiles
-    fast_sine: bool = False            # polynomial sin activation (exact to
+    fast_sine: bool = True             # polynomial sin activation (exact to
     #                                    f32 on the SIREN pre-activation
-    #                                    range; ops/fast_math.py) — the VPU
-    #                                    is the step's bottleneck
+    #                                    range; ops/fast_math.py).  The
+    #                                    exact-sin step is VPU-bound on its
+    #                                    ~4.8k sins/point; the polynomial
+    #                                    doubles measured train throughput
+    #                                    (12.6k -> 24.9k rays/s on one v5e
+    #                                    chip) at equal trained quality
+    #                                    (docs/FAST_SINE_PARITY.md)
     prefetch_device: bool = True       # eagerly place the ray table on the
     #                                    device(s) (replicated over the mesh)
     #                                    at startup; False defers to first use

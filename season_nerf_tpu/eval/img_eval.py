@@ -35,6 +35,28 @@ from season_nerf_tpu.render.renderer import (
 # seasonal alignment
 # ---------------------------------------------------------------------------
 
+# module-level so the compiled program is shared across every image of the
+# same size (one compile per eval size, not per evaluated image).  The
+# component tensors are *arguments*, not closed-over values: a closure would
+# bake them into the program as constants ([N, S, C, 3] adjusts at
+# 256^2 x 96 is ~300 MB of HLO constants — enough to overflow a
+# remote-compile request, and a recompile per image even locally).
+@jax.jit
+def _score_align_candidates(cvs, ps_j, base_j, adj_j, gate_j, gt_j, good_j):
+    def one(cv):
+        mix = jnp.einsum("c,rscd->rsd", cv, adj_j)
+        A = jnp.sum(ps_j * jax.nn.sigmoid(base_j + mix), 1)    # [N,3]
+        # closed-form sky: argmin over sky of |GT - A*(g + (1-g)sky)|^2
+        # on non-sunlit pixels (mg_Img_Eval.py:390-396)
+        Y = jnp.where(good_j[:, None], gt_j - A * gate_j, 0.0)
+        X = jnp.where(good_j[:, None], (1 - gate_j) * A, 0.0)
+        sky = jnp.clip(jnp.sum(X * Y, 0) / (jnp.sum(X * X, 0) + 1e-12),
+                       0.0, 1.0)
+        rendered = A * (gate_j + (1 - gate_j) * sky[None])
+        return jnp.mean((rendered - gt_j) ** 2), sky
+    return jax.lax.map(one, cvs)
+
+
 def seasonal_align(renderer: Renderer, components: Dict, gt_cols: np.ndarray,
                    base_time: float, n_times: int = 366):
     """Best (class_vector, sky_color, time) explaining the GT colors.
@@ -59,29 +81,14 @@ def seasonal_align(renderer: Renderer, components: Dict, gt_cols: np.ndarray,
     gate = _sig((np.sum(ps * components["vis"], 1) - 0.2) * 30.0)   # [N,1]
     good = (gate < 0.99)[:, 0]
 
-    ps_j = jnp.asarray(ps, jnp.float32)
-    base_j = jnp.asarray(components["col_raw"], jnp.float32)
-    adj_j = jnp.asarray(components["adjust_per_class"], jnp.float32)
-    gate_j = jnp.asarray(gate, jnp.float32)
-    gt_j = jnp.asarray(gt_cols, jnp.float32)
-    good_j = jnp.asarray(good)
-
-    @jax.jit
-    def score_all(cvs):
-        def one(cv):
-            mix = jnp.einsum("c,rscd->rsd", cv, adj_j)
-            A = jnp.sum(ps_j * jax.nn.sigmoid(base_j + mix), 1)    # [N,3]
-            # closed-form sky: argmin over sky of |GT - A*(g + (1-g)sky)|^2
-            # on non-sunlit pixels (mg_Img_Eval.py:390-396)
-            Y = jnp.where(good_j[:, None], gt_j - A * gate_j, 0.0)
-            X = jnp.where(good_j[:, None], (1 - gate_j) * A, 0.0)
-            sky = jnp.clip(jnp.sum(X * Y, 0) / (jnp.sum(X * X, 0) + 1e-12),
-                           0.0, 1.0)
-            rendered = A * (gate_j + (1 - gate_j) * sky[None])
-            return jnp.mean((rendered - gt_j) ** 2), sky
-        return jax.lax.map(one, cvs)
-
-    errors, skies = jax.device_get(score_all(jnp.asarray(class_vecs)))
+    errors, skies = jax.device_get(_score_align_candidates(
+        jnp.asarray(class_vecs),
+        jnp.asarray(ps, jnp.float32),
+        jnp.asarray(components["col_raw"], jnp.float32),
+        jnp.asarray(components["adjust_per_class"], jnp.float32),
+        jnp.asarray(gate, jnp.float32),
+        jnp.asarray(gt_cols, jnp.float32),
+        jnp.asarray(good)))
     best = int(np.argmin(errors))
     return class_vecs[best], np.asarray(skies[best]), float(ts[best])
 

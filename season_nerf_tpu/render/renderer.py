@@ -225,7 +225,40 @@ class Renderer:
             return jax.device_put(arr, self._ray_sharding)
         return jnp.asarray(arr)
 
+    # substrings identifying a *compiler* failure (vs a real runtime error):
+    # the TPU register allocator RET_CHECKs on very large fused render
+    # kernels, and tunneled remote-compile services surface that as an
+    # INTERNAL/HTTP-500 — both are cured by a smaller chunk, not a retry
+    _COMPILE_FAIL_MARKS = ("RET_CHECK", "regalloc", "remote_compile",
+                           "tpu_compile_helper")
+
     def _run_chunks(self, kernel, tops, bots, sun, t4, extra_keys):
+        """Chunked dispatch with compile-failure fallback: if XLA's backend
+        cannot compile the kernel at the current chunk size (register
+        allocator RET_CHECK — docs/DESIGN.md "Compiler limits"), halve the
+        chunk (keeping mesh divisibility) and retry instead of losing the
+        whole render."""
+        n_dev = (int(np.prod(self.mesh.devices.shape))
+                 if self.mesh is not None else 1)
+        floor = 256 * n_dev
+        while True:
+            try:
+                return self._run_chunks_once(kernel, tops, bots, sun, t4,
+                                             extra_keys)
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                retryable = any(m in msg for m in self._COMPILE_FAIL_MARKS)
+                if not retryable or self.chunk <= floor:
+                    raise
+                new_chunk = max((self.chunk // 2 // n_dev) * n_dev, floor)
+                import warnings
+                warnings.warn(
+                    f"render kernel failed to compile at chunk={self.chunk} "
+                    f"({msg.splitlines()[0][:120]}); retrying at "
+                    f"chunk={new_chunk}", stacklevel=2)
+                self.chunk = new_chunk
+
+    def _run_chunks_once(self, kernel, tops, bots, sun, t4, extra_keys):
         n = tops.shape[0]
         c = self.chunk
         device_outs = []      # keep results on device; one fetch at the end

@@ -133,3 +133,42 @@ def test_render_img_exact_shadow(small_renderer):
     ex = out["Exact_Shadow_Mask"]
     assert ex.shape == (8, 8)
     assert ((ex >= 0) & (ex <= 1.0 + 1e-5)).all()
+
+
+def test_run_chunks_compile_failure_fallback():
+    """A retryable XLA compile failure (register-allocator RET_CHECK /
+    remote-compile HTTP 500) halves the chunk and retries instead of
+    losing the render; a non-retryable error propagates."""
+    model = TNeRF(layer_width=32, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    r = Renderer(model, variables, n_samples=8, chunk=1024)
+
+    n = 300
+    tops = np.concatenate([np.random.uniform(-1, 1, (n, 2)),
+                           np.ones((n, 1))], 1).astype(np.float32)
+    bots = np.concatenate([tops[:, :2], -np.ones((n, 1))], 1).astype(np.float32)
+    sun = np.broadcast_to(np.array([0.3, 0.2, 0.93], np.float32), (n, 3))
+    t4 = np.broadcast_to(np.array([1, 0, 1, 0], np.float32), (n, 4))
+
+    attempts = []
+
+    def flaky(variables, tt, bb, ss, t44):
+        attempts.append(r.chunk)
+        if r.chunk > 256:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: remote_compile: HTTP 500: RET_CHECK failure "
+                "(regalloc/live_range_finder.cc)")
+        return r._full_chunk(variables, tt, bb, ss, t44)
+
+    with pytest.warns(UserWarning, match="retrying at chunk"):
+        out = r._run_chunks(flaky, tops, bots, sun, t4, ["rendered"])
+    assert out["rendered"].shape == (n, 3)
+    assert r.chunk == 256                       # 1024 -> 512 -> 256
+    assert attempts[:2] == [1024, 512]
+
+    def fatal(variables, tt, bb, ss, t44):
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: shapes differ")
+
+    with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID_ARGUMENT"):
+        r._run_chunks(fatal, tops, bots, sun, t4, ["rendered"])

@@ -48,7 +48,10 @@ def main():
     cfg = Config(max_train_steps=50_000, n_samples=96, batch_size=batch,
                  fc_units=512, n_saves=0, logs_dir="", jump_start=True,
                  remat_trunk=remat,
-                 fast_sine=os.environ.get("BENCH_FAST_SIN", "") == "1")
+                 fast_sine=os.environ.get("BENCH_FAST_SIN", "1") == "1")
+    # persistent XLA compile cache: repeat benches skip the (remote,
+    # multi-minute, occasionally flaky) compile of the fused train step
+    cfg.enable_compile_cache()
 
     scene = make_scene(n_views=6, img_size=48, grid=64, seed=0)
     train_tab, val_tab = scene_ray_tables(scene, testing_size=1)

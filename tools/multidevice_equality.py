@@ -51,7 +51,7 @@ def run_arm(args, n_devices: int):
     cfg.save_json()
     t0 = time.perf_counter()
     run_test(cfg, eval_img_size=(args.eval_size, args.eval_size),
-             eval_season_size=24)
+             eval_season_size=(24, 24))
     wall = (time.perf_counter() - t0) / 60.0
     return cfg.logs_dir, wall
 

@@ -35,11 +35,12 @@ def main():
     from season_nerf_tpu.train import phases as phase_lib
 
     # flagship training config (reference defaults, opt2.py:66-92) with a
-    # TPU-friendly batch: 8192 rays/step instead of 512 (free MXU win).
-    # 4096 rays/step: the throughput sweet spot, and the largest batch the
-    # current TPU toolchain reliably compiles for the fully-fused train
-    # step (5k-8k+ trips a register-allocator RET_CHECK in the backward
-    # pass depending on shape); revisit with a scanned/remat step.
+    # TPU-friendly batch: 4096 rays/step is the throughput sweet spot, and
+    # the largest batch the current TPU toolchain reliably compiles for the
+    # fully-fused train step (5k-8k+ trips a register-allocator RET_CHECK
+    # in the backward pass unless remat_trunk="full").  The polynomial sin
+    # activation is on by default (the measured 2x lever, qualified in
+    # docs/FAST_SINE_PARITY.md); BENCH_FAST_SIN=0 restores exact sin.
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 30))
     remat = os.environ.get("BENCH_REMAT", "")      # "", "full", or "dots"

@@ -28,6 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: asked for {n_devices} devices but only "
+                f"{len(devices)} visible ({devices[0].platform}); refusing "
+                "to silently build a smaller mesh")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), ("data",))
 

@@ -33,9 +33,19 @@ def main():
                    help="bfloat16 matmul compute dtype for the trunk")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard rays over this many devices (0 = no mesh)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the virtual CPU platform with --mesh devices "
+                        "(mesh-correctness runs; the axon TPU plugin ignores "
+                        "JAX_PLATFORMS, so this uses the conftest recipe)")
     args = p.parse_args()
 
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max(args.mesh, 1)}")
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from season_nerf_tpu.models.tnerf import TNeRF
     from season_nerf_tpu.render.renderer import Renderer

@@ -47,6 +47,7 @@ ARMS = {
     "exact_sin_s1": dict(fast_sine=False, seed=1),
     "fast_sine_s1": dict(fast_sine=True, seed=1),
     "fast_bf16": dict(fast_sine=True, compute_dtype="bfloat16"),
+    "fast_bf16_s1": dict(fast_sine=True, compute_dtype="bfloat16", seed=1),
 }
 
 
@@ -119,7 +120,7 @@ def main():
         print(json.dumps({name: m}), flush=True)
 
     arm_names = [n for n in ("exact_sin", "exact_sin_s1", "fast_sine",
-                             "fast_sine_s1", "fast_bf16") if n in results]
+                             "fast_sine_s1", "fast_bf16", "fast_bf16_s1") if n in results]
     base = results[arm_names[0]]
     lines = [
         "# fast_sine training-quality parity",

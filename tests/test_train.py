@@ -140,6 +140,51 @@ def test_final_artifact_restores(tiny_setup, tmp_path):
     assert np.isfinite(np.asarray(out["rho"])).all()
 
 
+def test_best_geometry_final_model(tiny_setup, tmp_path):
+    """final_model_selection='best_geometry' writes the save point with the
+    lowest prior-DSM height error as Final_Model.nn (not the last step) and
+    records the choice in the artifact meta."""
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(str(tmp_path), final_model_selection="best_geometry")
+    tr = Trainer(cfg, train_tab, val_tab, prior_hm=scene.prior_hm,
+                 gt_dsm=scene.hm)
+    tr.run()
+    # every save point scored geometry vs the prior
+    assert len(tr._save_geometry) == len(tr.save_steps)
+    assert all(np.isfinite(m) for _, m in tr._save_geometry)
+    # force a deterministic non-last winner, then finalize
+    first_save = min(tr.save_steps)
+    tr._save_geometry = [(s, 0.0 if s == first_save else 1.0)
+                         for s, _ in tr._save_geometry]
+    tr.finalize()
+    variables, meta = state_lib.restore_variables(
+        tr.variables_template, os.path.join(str(tmp_path), "Final_Model.nn"))
+    assert meta["selection"] == "best_geometry"
+    assert meta["selected_step"] == first_save
+    assert meta["steps"] == first_save
+    # the artifact params are the selected checkpoint's, not the last step's
+    ckpt, _ = state_lib.load_checkpoint(
+        os.path.join(str(tmp_path), f"Model_{first_save}.nn"), tr.state)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(ckpt.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_geometry_falls_back_without_prior(tiny_setup, tmp_path):
+    """No prior DSM -> no geometry scores -> loud fallback to last-step."""
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(str(tmp_path), max_train_steps=2, jump_start=False,
+                    final_model_selection="best_geometry")
+    tr = Trainer(cfg, train_tab, val_tab)
+    tr.run()
+    with pytest.warns(UserWarning, match="best_geometry"):
+        tr.finalize()
+    _, meta = state_lib.restore_variables(
+        tr.variables_template, os.path.join(str(tmp_path), "Final_Model.nn"))
+    assert "selection" not in meta
+    assert meta["steps"] == 2
+
+
 def test_validation_render(tiny_setup):
     scene, train_tab, val_tab, logs = tiny_setup
     cfg = _tiny_cfg(logs, max_train_steps=2, jump_start=False)

@@ -17,8 +17,10 @@ so each SIREN layer folds to ``sin(x @ W' + b')`` with
 happens host-side once per checkpoint; the kernel is pure matmul+sin on the
 MXU/VPU.
 
-Used by the renderer's sigma-only and component paths; training keeps the
-flax module (BN batch statistics need the full batch).
+Not wired into the production render path: measured on the real chip, XLA
+wins (below), so the renderer keeps the plain flax module; training does
+too (BN batch statistics need the full batch).  ``tools/bench_trunk.py``
+re-measures the comparison at any operating point.
 
 Measured on a single v5e chip (512k points, sigma path): XLA 98 ms, this
 kernel 113 ms — the trunk is *transcendental-bound* (2.4G sin evaluations

@@ -46,9 +46,14 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "")      # "", "full", or "dots"
     if remat in ("0", "1"):
         remat = "full" if remat == "1" else ""
+    # compute dtype: bfloat16 trunk matmuls are the qualified production
+    # operating point (+29% over f32 under the polynomial sin; full-budget
+    # 50k-step quality parity in docs/QUALITY_r3.md, 5k-step 2x2 arms in
+    # docs/FAST_SINE_PARITY.md).  BENCH_DTYPE=float32 restores f32.
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg = Config(max_train_steps=50_000, n_samples=96, batch_size=batch,
                  fc_units=512, n_saves=0, logs_dir="", jump_start=True,
-                 remat_trunk=remat,
+                 remat_trunk=remat, compute_dtype=dtype,
                  fast_sine=os.environ.get("BENCH_FAST_SIN", "1") == "1")
     # persistent XLA compile cache: repeat benches skip the (remote,
     # multi-minute, occasionally flaky) compile of the fused train step

@@ -92,7 +92,15 @@ class Config:
     #                                    the multi-step scan program
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all,
     #                                    1 = force single-device (no mesh)
-    compute_dtype: str = "float32"     # or "bfloat16" for the trunk matmuls
+    compute_dtype: str = "bfloat16"    # trunk-matmul dtype.  bfloat16 is the
+    #                                    qualified production point: +33%
+    #                                    sustained training throughput on one
+    #                                    v5e chip at full-budget quality
+    #                                    parity with float32 (50k-step A/B on
+    #                                    the same site, docs/QUALITY_r3.md);
+    #                                    "float32" restores exact-reference
+    #                                    arithmetic (params/accumulators are
+    #                                    f32 either way)
     compile_cache: bool = True         # persistent XLA compile cache under
     #                                    <IO_Location>/Cache/jax — restarts
     #                                    (watchdog, resume) skip recompiles

@@ -349,6 +349,8 @@ class Trainer:
         self.step = int(extra.get("step", 0))
         self._carry_alpha = float(extra.get("carry_alpha", 2.0))
         self._carry_scale = float(extra.get("carry_scale", 0.03))
+        self._save_geometry = [(int(s), float(m))
+                               for s, m in extra.get("save_geometry", [])]
         phase = phase_lib.phase_at(self.phases, max(self.step - 1, 0))
         self._enter_phase(phase)     # builds matching state templates
         self.state, _ = state_lib.load_checkpoint(ckpt_path, self.state)
@@ -463,7 +465,12 @@ class Trainer:
         return {"step": self.step,
                 "phase": self._phase.index if self._phase else 0,
                 "carry_alpha": self._carry_alpha,
-                "carry_scale": self._carry_scale}
+                "carry_scale": self._carry_scale,
+                # best_geometry selection must survive a watchdog restart:
+                # without this, finalize() would only see post-resume save
+                # points and could silently pick a worse checkpoint
+                "save_geometry": [[int(s), float(m)]
+                                  for s, m in self._save_geometry]}
 
     def finalize(self):
         """Save the Final_Model.nn inference artifact (main.py:104).

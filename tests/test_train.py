@@ -170,6 +170,23 @@ def test_best_geometry_final_model(tiny_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_best_geometry_survives_resume(tiny_setup, tmp_path):
+    """Save-point geometry scores ride the checkpoint: after a crash +
+    resume, finalize() still considers the pre-crash save points (a
+    watchdog restart must not silently shrink the selection pool)."""
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(str(tmp_path), final_model_selection="best_geometry")
+    tr = Trainer(cfg, train_tab, val_tab, prior_hm=scene.prior_hm,
+                 gt_dsm=scene.hm)
+    tr.run()
+    assert len(tr._save_geometry) == len(tr.save_steps)
+    last_ckpt = os.path.join(str(tmp_path), f"Model_{max(tr.save_steps)}.nn")
+    tr2 = Trainer(cfg, train_tab, val_tab, prior_hm=scene.prior_hm,
+                  gt_dsm=scene.hm)
+    tr2.resume(last_ckpt)
+    assert tr2._save_geometry == tr._save_geometry
+
+
 def test_best_geometry_falls_back_without_prior(tiny_setup, tmp_path):
     """No prior DSM -> no geometry scores -> loud fallback to last-step."""
     scene, train_tab, val_tab, logs = tiny_setup

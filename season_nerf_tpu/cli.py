@@ -213,6 +213,13 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
         variables = {"params": trainer.state.params}
         if jax.tree_util.tree_leaves(trainer.state.batch_stats):
             variables["batch_stats"] = trainer.state.batch_stats
+        if cfg.final_model_selection != "last" and cfg.logs_dir:
+            # evaluate the shipped artifact: finalize() may have selected an
+            # earlier save point, and the analysis below must describe
+            # Final_Model.nn, not the last-step weights
+            variables, _ = state_lib.restore_variables(
+                trainer.variables_template,
+                os.path.join(cfg.logs_dir, "Final_Model.nn"))
     from season_nerf_tpu.train.engine import _auto_mesh
     renderer = Renderer(model, variables, n_samples=cfg.n_samples,
                         chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,

@@ -179,12 +179,23 @@ class Config:
             json.dump(dataclasses.asdict(self), fout, indent=2)
         return path
 
+    # Keys whose *class* default changed after dirs already existed.  A
+    # saved opts.json missing one of these predates the knob, so it must get
+    # the behavior it was trained/converted under — not today's default.
+    # (Our own save_json always writes every field; this only fires for
+    # minimal hand-written opts.json, e.g. around a converted reference
+    # checkpoint, where f32 exact-sin is the output-identity contract.)
+    _LEGACY_DEFAULTS = {"compute_dtype": "float32", "fast_sine": False}
+
     @classmethod
     def load_json(cls, path):
         with open(path, "r") as fin:
             d = json.load(fin)
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kwargs = {k: v for k, v in d.items() if k in known}
+        for k, v in cls._LEGACY_DEFAULTS.items():
+            kwargs.setdefault(k, v)
+        return cls(**kwargs)
 
 
 def add_config_flags(parser: argparse.ArgumentParser, defaults: Config = None):

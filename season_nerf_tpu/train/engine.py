@@ -56,7 +56,6 @@ def _auto_mesh(cfg: Config, strict: bool = True):
     path, where opts.json may record a larger training slice), and the auto
     path warns — on an 8-chip slice a config typo must not quietly discard
     7 chips."""
-    import warnings
     n_dev = len(jax.devices())
     explicit = cfg.mesh_shape is not None
     want = cfg.mesh_shape if explicit else n_dev

@@ -390,6 +390,28 @@ def test_model_from_config_roundtrip(tmp_path):
     assert m.dtype == jnp.bfloat16
 
 
+def test_load_json_legacy_defaults(tmp_path):
+    """An opts.json missing the performance knobs predates them (e.g. a
+    minimal file next to a converted reference checkpoint) and must load
+    with the legacy f32/exact-sin behavior it was trained under, not
+    today's bf16/fast-sine defaults — otherwise the documented 1e-4
+    reference output-identity silently breaks at render time."""
+    import json as _json
+    from season_nerf_tpu.config import Config
+    p = str(tmp_path / "opts.json")
+    with open(p, "w") as f:
+        _json.dump({"fc_units": 48, "site_name": "OMA_281"}, f)
+    cfg = Config.load_json(p)
+    assert cfg.compute_dtype == "float32"
+    assert cfg.fast_sine is False
+    assert cfg.fc_units == 48
+    # but a dir that recorded them keeps what it recorded
+    with open(p, "w") as f:
+        _json.dump({"compute_dtype": "bfloat16", "fast_sine": True}, f)
+    cfg = Config.load_json(p)
+    assert cfg.compute_dtype == "bfloat16" and cfg.fast_sine is True
+
+
 def test_output_locations_match_reference():
     """Save-point schedule parity with misc.get_output_loc_lin_first
     (misc.py:35-53): log-spaced with a linear floor starting at min_gap,

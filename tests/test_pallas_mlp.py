@@ -71,10 +71,12 @@ def test_fused_trunk_fast_sine_matches(model_and_vars):
                                    method="sigma_only"))
     np.testing.assert_allclose(got, want, atol=2e-5)
     # and it is genuinely the polynomial, not exact sin: same weights
-    # rendered exact differ at the approximation scale, not zero
+    # rendered exact differ at the approximation scale — nonzero (the flag
+    # actually reached the kernel) but tiny (it is still a sin)
     exact = np.asarray(model.apply(variables, pts, train=False,
                                    method="sigma_only"))
-    assert got.shape == exact.shape
+    diff = float(np.max(np.abs(got - exact)))
+    assert 0.0 < diff < 1e-2, diff
 
 
 def test_padding_arbitrary_n(model_and_vars):

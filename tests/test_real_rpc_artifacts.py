@@ -22,10 +22,13 @@ import pytest
 from season_nerf_tpu.geometry.camera import fit_projective_dlt, project_P
 from season_nerf_tpu.geometry.rpc import RPCModel, parse_rpc_file
 
-DATA_ZIP = "/root/reference/Data.zip"
+# the reference repo's Data.zip (cached RPCs); point SEASON_NERF_DATA_ZIP
+# at a copy to run these tests on machines with a different layout
+DATA_ZIP = os.environ.get("SEASON_NERF_DATA_ZIP", "/root/reference/Data.zip")
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(DATA_ZIP), reason="reference Data.zip not present")
+    not os.path.exists(DATA_ZIP),
+    reason="reference Data.zip not present (set SEASON_NERF_DATA_ZIP)")
 
 
 def _zip():

@@ -63,7 +63,7 @@ def run_arm(args, name: str):
                  fc_units=args.fc, n_saves=4, testing_size=3,
                  synth_views=14, save_point_val_renders=0,
                  chunk=args.chunk, **overrides)
-    cfg.resolve_dirs()
+    cfg.resolve_dirs().enable_compile_cache()
     cfg.save_json()
     t0 = time.perf_counter()
     run_test(cfg)

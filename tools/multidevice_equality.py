@@ -47,7 +47,7 @@ def run_arm(args, n_devices: int):
                  fc_units=args.fc, n_saves=3, testing_size=2,
                  synth_views=10, seed=0, mesh_shape=n_devices,
                  save_point_val_renders=0, scan_chunk=10)
-    cfg.resolve_dirs()
+    cfg.resolve_dirs().enable_compile_cache()
     cfg.save_json()
     t0 = time.perf_counter()
     run_test(cfg, eval_img_size=(args.eval_size, args.eval_size),

@@ -51,6 +51,8 @@ def main():
     run_dir = args.run_dir
     cfg.logs_dir = ""          # no-op writer; never touch the run dir
     cfg.n_saves = 0
+    cfg.mesh_shape = None      # read-only analysis: never require the
+    #                            training slice recorded in opts.json
     import numpy as np
     from season_nerf_tpu.cli import _prepare_synthetic
     from season_nerf_tpu.train.engine import Trainer

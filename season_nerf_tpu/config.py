@@ -179,6 +179,56 @@ class Config:
             json.dump(dataclasses.asdict(self), fout, indent=2)
         return path
 
+    # Fields a resumed run must keep from its original opts.json: they set
+    # the architecture, arithmetic, ray table, losses, or schedule of the
+    # training trajectory.  (max_train_steps is deliberately absent —
+    # extending a run is legitimate; seed too — the PRNG state resumes from
+    # the checkpoint, not the seed.)
+    _RESUME_CRITICAL = (
+        "compute_dtype", "fast_sine", "fc_units", "fc_layers",
+        "number_low_frequency_cases", "n_samples", "n_importance",
+        "use_HSLuv", "Use_MSE_loss", "Use_Solar", "Solar_Type_2",
+        "sc_lambda", "ds_lambda", "p_lambda", "lr", "lr_alpha_scale",
+        "batch_size", "n_saves", "jump_start", "DSM_Mode",
+        "weight_training_samples", "img_training_downscale",
+        "img_validation_downscale", "testing_size", "site_name",
+        "camera_model", "skip_Bundle_Adjust",
+    )
+
+    def adopt_resume_settings(self):
+        """If this experiment dir holds checkpoints from a previous run, its
+        recorded opts.json wins for every trajectory-critical field: a run
+        trained 30k/50k steps under float32/exact-sin must not silently
+        finish under today's bfloat16/fast-sine defaults after an upgrade —
+        and ``save_json`` afterwards must not destroy the record of how it
+        was trained.  Pass ``--no-resume`` to retrain from scratch under the
+        new settings instead.  Called from the CLI entry point
+        (``get_opts``) before the opts.json dump."""
+        path = os.path.join(self.logs_dir, "opts.json") if self.logs_dir \
+            else ""
+        if not self.resume or not path or not os.path.exists(path):
+            return self
+        import glob
+        import re
+        steps = [int(re.search(r"Model_(\d+)", p).group(1)) for p in
+                 glob.glob(os.path.join(self.logs_dir, "Model_*.nn"))]
+        if not steps or max(steps) == 0:
+            return self
+        saved = type(self).load_json(path)
+        changed = []
+        for name in self._RESUME_CRITICAL:
+            old, new = getattr(saved, name), getattr(self, name)
+            if old != new:
+                setattr(self, name, old)
+                changed.append(f"  {name}: {new!r} -> {old!r}")
+        if changed:
+            import warnings
+            warnings.warn(
+                "resuming an existing run: its recorded opts.json wins for "
+                "trajectory-critical settings (pass --no-resume to retrain "
+                "under the new values):\n" + "\n".join(changed))
+        return self
+
     # Keys whose *class* default changed after dirs already existed.  A
     # saved opts.json missing one of these predates the knob, so it must get
     # the behavior it was trained/converted under — not today's default.
@@ -228,6 +278,7 @@ def get_opts(argv=None, defaults: Config = None, **overrides) -> Config:
     for k, v in overrides.items():
         setattr(cfg, k, v)
     cfg.resolve_dirs()
+    cfg.adopt_resume_settings()
     cfg.enable_compile_cache()
     cfg.save_json()
     return cfg

@@ -228,19 +228,26 @@ class Renderer:
     # substrings identifying a *compiler* failure (vs a real runtime error):
     # the TPU register allocator RET_CHECKs on very large fused render
     # kernels, and tunneled remote-compile services surface that as an
-    # INTERNAL/HTTP-500 — both are cured by a smaller chunk, not a retry
+    # INTERNAL/HTTP-500 — both are cured by a smaller chunk
     _COMPILE_FAIL_MARKS = ("RET_CHECK", "regalloc", "remote_compile",
                            "tpu_compile_helper")
+    # ... but the remote-compile 500s are also how *transient* service
+    # flakes surface, indistinguishable from size-induced failures from
+    # here, so those get one same-size retry before the chunk shrinks
+    _MAYBE_TRANSIENT_MARKS = ("remote_compile", "tpu_compile_helper")
 
     def _run_chunks(self, kernel, tops, bots, sun, t4, extra_keys):
         """Chunked dispatch with compile-failure fallback: if XLA's backend
         cannot compile the kernel at the current chunk size (register
         allocator RET_CHECK — docs/DESIGN.md "Compiler limits"), halve the
         chunk (keeping mesh divisibility) and retry instead of losing the
-        whole render."""
+        whole render.  Remote-compile failures get one retry at the same
+        size first — a single service flake must not permanently halve the
+        chunk for the Renderer's lifetime."""
         n_dev = (int(np.prod(self.mesh.devices.shape))
                  if self.mesh is not None else 1)
         floor = 256 * n_dev
+        retried_same_size = None
         while True:
             try:
                 return self._run_chunks_once(kernel, tops, bots, sun, t4,
@@ -250,8 +257,20 @@ class Renderer:
                 retryable = any(m in msg for m in self._COMPILE_FAIL_MARKS)
                 if not retryable or self.chunk <= floor:
                     raise
-                new_chunk = max((self.chunk // 2 // n_dev) * n_dev, floor)
                 import warnings
+                deterministic = any(m in msg for m in ("RET_CHECK",
+                                                       "regalloc"))
+                if (not deterministic
+                        and any(m in msg for m in self._MAYBE_TRANSIENT_MARKS)
+                        and retried_same_size != self.chunk):
+                    retried_same_size = self.chunk
+                    warnings.warn(
+                        f"remote compile failed at chunk={self.chunk} "
+                        f"({msg.splitlines()[0][:120]}); retrying once at "
+                        "the same size (may be a transient service flake)",
+                        stacklevel=2)
+                    continue
+                new_chunk = max((self.chunk // 2 // n_dev) * n_dev, floor)
                 warnings.warn(
                     f"render kernel failed to compile at chunk={self.chunk} "
                     f"({msg.splitlines()[0][:120]}); retrying at "

@@ -489,9 +489,9 @@ class Trainer:
             if not self._save_geometry:
                 warnings.warn(
                     "final_model_selection='best_geometry' requested but no "
-                    "save-point geometry scores exist (needs a DSM prior and "
-                    "save_point_val_renders > 0); falling back to the "
-                    "last-step weights")
+                    "save-point geometry scores exist (needs a DSM prior, "
+                    "and save_point_val_renders must not be 0); falling "
+                    "back to the last-step weights")
             else:
                 best_step, best_mae = min(self._save_geometry,
                                           key=lambda sm: sm[1])

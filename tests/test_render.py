@@ -172,3 +172,52 @@ def test_run_chunks_compile_failure_fallback():
 
     with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID_ARGUMENT"):
         r._run_chunks(fatal, tops, bots, sun, t4, ["rendered"])
+
+
+def test_run_chunks_transient_remote_flake_keeps_chunk():
+    """A remote-compile failure without a RET_CHECK signature gets one
+    same-size retry (a service flake must not permanently halve the
+    chunk); if it persists at the same size, the chunk then shrinks."""
+    model = TNeRF(layer_width=32, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    n = 300
+    tops = np.concatenate([np.random.uniform(-1, 1, (n, 2)),
+                           np.ones((n, 1))], 1).astype(np.float32)
+    bots = np.concatenate([tops[:, :2], -np.ones((n, 1))],
+                          1).astype(np.float32)
+    sun = np.broadcast_to(np.array([0.3, 0.2, 0.93], np.float32), (n, 3))
+    t4 = np.broadcast_to(np.array([1, 0, 1, 0], np.float32), (n, 4))
+
+    # one flake, then healthy: chunk must stay at its configured size
+    r = Renderer(model, variables, n_samples=8, chunk=1024)
+    calls = {"n": 0}
+
+    def one_flake(variables, tt, bb, ss, t44):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: remote_compile: HTTP 500: connection reset")
+        return r._full_chunk(variables, tt, bb, ss, t44)
+
+    with pytest.warns(UserWarning, match="retrying once at the same size"):
+        out = r._run_chunks(one_flake, tops, bots, sun, t4, ["rendered"])
+    assert out["rendered"].shape == (n, 3)
+    assert r.chunk == 1024
+
+    # persistent at 1024: one same-size retry, then halve and succeed
+    r2 = Renderer(model, variables, n_samples=8, chunk=1024)
+    attempts = []
+
+    def persistent(variables, tt, bb, ss, t44):
+        attempts.append(r2.chunk)
+        if r2.chunk > 512:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: remote_compile: HTTP 500: too big")
+        return r2._full_chunk(variables, tt, bb, ss, t44)
+
+    with pytest.warns(UserWarning, match="retrying at chunk"):
+        out = r2._run_chunks(persistent, tops, bots, sun, t4, ["rendered"])
+    assert out["rendered"].shape == (n, 3)
+    assert r2.chunk == 512
+    assert attempts[:3] == [1024, 1024, 512]

@@ -73,3 +73,37 @@ def test_profile_trace(setup, tmp_path):
     d = tr.profile_steps(str(tmp_path / "trace"), n_steps=2)
     assert os.path.isdir(d)
     assert any(os.scandir(d))               # trace files were written
+
+
+def test_resume_adopts_recorded_trajectory_settings(tmp_path):
+    """Resuming an unfinished run keeps the run's recorded arithmetic:
+    a dir trained under float32/exact-sin must not silently finish under
+    newer defaults (and the new opts.json dump must carry the recorded
+    values, not destroy them)."""
+    logs = str(tmp_path / "run")
+    os.makedirs(logs)
+    old = Config(logs_dir=logs, compute_dtype="float32", fast_sine=False,
+                 fc_units=64, max_train_steps=50)
+    old.save_json()
+    open(os.path.join(logs, "Model_30.nn"), "wb").close()
+
+    cfg = Config(logs_dir=logs, max_train_steps=80)   # today's defaults
+    with pytest.warns(UserWarning, match="recorded opts.json wins"):
+        cfg.adopt_resume_settings()
+    assert cfg.compute_dtype == "float32"
+    assert cfg.fast_sine is False
+    assert cfg.fc_units == 64
+    assert cfg.max_train_steps == 80      # extending the run stays allowed
+
+    # --no-resume: the new settings stand, no warning
+    cfg2 = Config(logs_dir=logs, resume=False)
+    cfg2.adopt_resume_settings()
+    assert cfg2.compute_dtype == "bfloat16" and cfg2.fast_sine is True
+
+    # a dir with opts.json but no checkpoints is a fresh run
+    logs3 = str(tmp_path / "fresh")
+    os.makedirs(logs3)
+    Config(logs_dir=logs3, fast_sine=False).save_json()
+    cfg3 = Config(logs_dir=logs3)
+    cfg3.adopt_resume_settings()
+    assert cfg3.fast_sine is True

@@ -40,9 +40,12 @@ def main():
     args = p.parse_args()
 
     if args.cpu:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={max(args.mesh, 1)}")
+        import re
+        flag = f"--xla_force_host_platform_device_count={max(args.mesh, 1)}"
+        flags = os.environ.get("XLA_FLAGS", "")
+        flags, n = re.subn(
+            r"--xla_force_host_platform_device_count=\d+", flag, flags)
+        os.environ["XLA_FLAGS"] = flags if n else f"{flags} {flag}".strip()
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -17,7 +17,6 @@ seed-to-seed noise of each other; this tool produces the committed evidence
 """
 
 import argparse
-import importlib.util
 import json
 import os
 import sys
@@ -25,14 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _load_qr():
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "quality_report", os.path.join(root, "tools", "quality_report.py"))
-    qr = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(qr)
-    return qr
+from tools.report_metrics import arm_metrics  # noqa: E402
 
 
 ARMS = {
@@ -42,10 +34,12 @@ ARMS = {
     # (identical forward arithmetic to ~2e-7 still yields a different
     # training trajectory — chaotic divergence, not approximation error;
     # see the same-weights render check in docs/FAST_SINE_PARITY.md)
-    "exact_sin": dict(fast_sine=False),
-    "fast_sine": dict(fast_sine=True),
-    "exact_sin_s1": dict(fast_sine=False, seed=1),
-    "fast_sine_s1": dict(fast_sine=True, seed=1),
+    # compute_dtype is pinned per-arm so the sin arms stay a pure f32
+    # A/B even though the Config default is now bfloat16.
+    "exact_sin": dict(fast_sine=False, compute_dtype="float32"),
+    "fast_sine": dict(fast_sine=True, compute_dtype="float32"),
+    "exact_sin_s1": dict(fast_sine=False, compute_dtype="float32", seed=1),
+    "fast_sine_s1": dict(fast_sine=True, compute_dtype="float32", seed=1),
     "fast_bf16": dict(fast_sine=True, compute_dtype="bfloat16"),
     "fast_bf16_s1": dict(fast_sine=True, compute_dtype="bfloat16", seed=1),
 }
@@ -71,22 +65,6 @@ def run_arm(args, name: str):
     return cfg.logs_dir, wall
 
 
-def arm_metrics(qr, logs_dir):
-    img = qr._table_rows(qr._read(
-        os.path.join(logs_dir, "Output", "Image_scores.txt")))
-    hm = qr._table_rows(qr._read(
-        os.path.join(logs_dir, "Detailed_Output", "HM_scores.txt")))
-    out = {}
-    best = img.get("Aligned_Shadow_Img") or img.get("Aligned_Img")
-    if best:
-        out.update(psnr=best[0], ssim=best[3], em=best[4])
-    al = hm.get("NeRF (aligned)")
-    if al:
-        out.update(dsm_mae=al[0], dsm_rmse=al[1], dsm_le1m=al[2],
-                   dsm_median=al[3])
-    return out
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--io", default="/tmp/fast_sine_parity")
@@ -104,7 +82,6 @@ def main():
                    "finished run dirs under --io are reused via resume")
     args = p.parse_args()
 
-    qr = _load_qr()
     results = {}
     for name in args.arms:
         done = os.path.join(args.io, "Logs", f"parity_{name}",
@@ -114,7 +91,7 @@ def main():
             wall = float("nan")     # already trained + scored; reuse
         else:
             logs_dir, wall = run_arm(args, name)
-        m = arm_metrics(qr, logs_dir)
+        m = arm_metrics(logs_dir)
         m["wall_min"] = round(wall, 1)
         results[name] = m
         print(json.dumps({name: m}), flush=True)

@@ -18,7 +18,6 @@ Run on CPU with the virtual mesh (the standard multi-chip substitute):
 """
 
 import argparse
-import importlib.util
 import json
 import os
 import sys
@@ -26,14 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _load_qr():
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "quality_report", os.path.join(root, "tools", "quality_report.py"))
-    qr = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(qr)
-    return qr
+from tools.report_metrics import arm_metrics  # noqa: E402
 
 
 def run_arm(args, n_devices: int):
@@ -56,21 +48,6 @@ def run_arm(args, n_devices: int):
     return cfg.logs_dir, wall
 
 
-def arm_metrics(qr, logs_dir):
-    img = qr._table_rows(qr._read(
-        os.path.join(logs_dir, "Output", "Image_scores.txt")))
-    hm = qr._table_rows(qr._read(
-        os.path.join(logs_dir, "Detailed_Output", "HM_scores.txt")))
-    out = {}
-    best = img.get("Aligned_Shadow_Img") or img.get("Aligned_Img")
-    if best:
-        out.update(psnr=best[0], ssim=best[3])
-    al = hm.get("NeRF (aligned)")
-    if al:
-        out.update(dsm_mae=al[0], dsm_median=al[3])
-    return out
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--io", default="/tmp/multidev_eq")
@@ -87,11 +64,10 @@ def main():
         "need the 8-device virtual mesh; run with "
         "XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu")
 
-    qr = _load_qr()
     results = {}
     for n in (1, 8):
         logs_dir, wall = run_arm(args, n)
-        m = arm_metrics(qr, logs_dir)
+        m = arm_metrics(logs_dir)
         m["wall_min"] = round(wall, 1)
         results[f"mesh{n}"] = m
         print(json.dumps({f"mesh{n}": m}), flush=True)

@@ -74,18 +74,26 @@ def main():
                      "psnr": rep.get("Mean_PSNR")})
         print(json.dumps(rows[-1]), flush=True)
 
-    best = min(rows, key=lambda r: r["prior_mae"])
-    last = rows[-1]
+    scored = [r for r in rows
+              if r["prior_mae"] is not None and r["gt_mae"] is not None]
+    if not scored:
+        raise SystemExit("no save point produced a prior-DSM height score "
+                         "(validation renders had no overlap with the "
+                         "prior); nothing to select from")
+    best = min(scored, key=lambda r: r["prior_mae"])
+    last = scored[-1]
     print(f"\nselected (argmin prior-DSM MAE): step {best['step']} "
           f"(prior {best['prior_mae']:.4f}, GT {best['gt_mae']:.4f}) "
           f"vs last step {last['step']} "
           f"(prior {last['prior_mae']:.4f}, GT {last['gt_mae']:.4f})")
     # Spearman-style sanity: does the leakage-free signal rank like GT?
-    pr = np.argsort(np.argsort([r["prior_mae"] for r in rows]))
-    gr = np.argsort(np.argsort([r["gt_mae"] for r in rows]))
-    n = len(rows)
-    rho = 1 - 6 * np.sum((pr - gr) ** 2) / (n * (n * n - 1))
-    print(f"rank correlation prior-vs-GT across {n} save points: {rho:.3f}")
+    n = len(scored)
+    if n > 1:
+        pr = np.argsort(np.argsort([r["prior_mae"] for r in scored]))
+        gr = np.argsort(np.argsort([r["gt_mae"] for r in scored]))
+        rho = 1 - 6 * np.sum((pr - gr) ** 2) / (n * (n * n - 1))
+        print(f"rank correlation prior-vs-GT across {n} save points: "
+              f"{rho:.3f}")
 
     if args.skip_full_eval:
         return

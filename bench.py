@@ -14,6 +14,14 @@ measurement (ours 2.17x the reference per step on this host's CPU) in
 BASELINE.md "Measured baseline".
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Self-watchdog: the tunneled TPU's compile/execute RPC can wedge
+permanently (docs/DESIGN.md "Operational robustness" — the client blocks
+forever; killing the client frees the backend).  The measurement therefore
+runs in a child process with a stall timeout and retries, so one wedged
+RPC costs a retry instead of hanging the driver.  BENCH_TIMEOUT /
+BENCH_ATTEMPTS tune it; BENCH_ATTEMPTS=1 with a huge BENCH_TIMEOUT
+effectively disables it.
 """
 
 import json
@@ -24,6 +32,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_RAYS_PER_SEC = 5120.0   # nominal reference throughput (see docstring)
+
+
+def _watchdogged() -> int:
+    """Run the measurement in a child with a stall timeout + retries."""
+    import subprocess
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    timeout = float(os.environ.get("BENCH_TIMEOUT", "1200"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=timeout)
+            if r.returncode == 0:
+                return 0
+            print(f"bench attempt {i + 1}/{attempts} exited "
+                  f"rc={r.returncode}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            # killing the stalled client frees the wedged backend
+            print(f"bench attempt {i + 1}/{attempts} stalled after "
+                  f"{timeout:.0f}s; killed the client", file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(30.0)    # let the freed backend settle
+    return 1
 
 
 def main():
@@ -93,4 +124,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_watchdogged())

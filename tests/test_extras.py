@@ -192,3 +192,15 @@ def test_quality_report_parses_tables(tmp_path):
     assert "SSIM 0.770" in rep
     assert "MAE 1.18 m" in rep and "56% within 1 m" in rep
     assert "## Image quality" in rep
+
+    # the evidence tools' shared reducer parses the same tables
+    import sys
+    sys.path.insert(0, root)
+    try:
+        from tools.report_metrics import arm_metrics
+        m = arm_metrics(str(d))
+    finally:
+        sys.path.remove(root)
+    assert m["psnr"] == 18.01 and m["ssim"] == 0.77 and m["em"] == 0.12
+    assert m["dsm_mae"] == 1.18 and m["dsm_rmse"] == 1.6
+    assert m["dsm_le1m"] == 0.56 and m["dsm_median"] == 0.87

@@ -204,3 +204,62 @@ def test_quality_report_parses_tables(tmp_path):
     assert m["psnr"] == 18.01 and m["ssim"] == 0.77 and m["em"] == 0.12
     assert m["dsm_mae"] == 1.18 and m["dsm_rmse"] == 1.6
     assert m["dsm_le1m"] == 0.56 and m["dsm_median"] == 0.87
+
+
+def test_export_render_roundtrip(tmp_path):
+    """tools/export_render.py serializes the render kernel (weights baked
+    in) into a jax.export blob that a process with NO season_nerf_tpu
+    import can deserialize and call, matching the live kernel."""
+    import subprocess
+    import sys as _sys
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from season_nerf_tpu.models.tnerf import TNeRF
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, root)
+    try:
+        from tools.export_render import export_render, build_render_fn
+    finally:
+        _sys.path.remove(root)
+
+    model = TNeRF(layer_width=32, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    chunk, n_samples = 64, 8
+    blob, manifest = export_render(model, variables, n_samples, chunk)
+    assert manifest["chunk"] == chunk
+    path = tmp_path / "render.jaxexp"
+    path.write_bytes(blob)
+
+    rng = np.random.default_rng(0)
+    tops = np.concatenate([rng.uniform(-1, 1, (chunk, 2)),
+                           np.ones((chunk, 1))], 1).astype(np.float32)
+    bots = np.concatenate([tops[:, :2], -np.ones((chunk, 1))],
+                          1).astype(np.float32)
+    sun = np.tile(np.array([[0.3, 0.2, 0.93]], np.float32), (chunk, 1))
+    t4 = np.tile(np.array([[1, 0, 1, 0]], np.float32), (chunk, 1))
+    want = jax.jit(build_render_fn(model, variables, n_samples, False))(
+        tops, bots, sun, t4)
+    np.savez(tmp_path / "io.npz", tops=tops, bots=bots, sun=sun, t4=t4,
+             rendered=np.asarray(want["rendered"]),
+             height=np.asarray(want["height"]))
+
+    # a clean process (cwd != repo, no repo on sys.path) only needs jax
+    check = (
+        "import numpy as np\n"
+        "from jax import export\n"
+        "d = np.load('io.npz')\n"
+        "f = export.deserialize(open('render.jaxexp','rb').read())\n"
+        "out = f.call(d['tops'], d['bots'], d['sun'], d['t4'])\n"
+        "np.testing.assert_allclose(np.asarray(out['rendered']),"
+        " d['rendered'], rtol=2e-5, atol=2e-5)\n"
+        "np.testing.assert_allclose(np.asarray(out['height']),"
+        " d['height'], rtol=2e-5, atol=2e-5)\n"
+        "print('clean-process ok')\n")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([_sys.executable, "-c", check], cwd=str(tmp_path),
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "clean-process ok" in r.stdout, r.stderr

@@ -248,6 +248,45 @@ class Config:
         return cls(**kwargs)
 
 
+def apply_overrides(cfg: Config, pairs):
+    """Apply ``KEY=VALUE`` string overrides with type-aware coercion.
+
+    ``type(current)(value)`` is wrong for bools (``bool("False") is True``)
+    and for fields currently ``None``; this coerces by the *declared* field
+    type: bools accept true/false/1/0/yes/no (case-insensitive), None-able
+    fields get int/float/str by annotation, and unknown field names raise.
+    """
+    fields = {f.name: f for f in dataclasses.fields(type(cfg))}
+    for kv in pairs:
+        key, _, val = kv.partition("=")
+        if not _ or key not in fields:
+            raise ValueError(f"unknown config override {kv!r} "
+                             f"(expect KEY=VALUE with a Config field name)")
+        cur = getattr(cfg, key)
+        ann = str(fields[key].type)
+        if isinstance(cur, bool) or ann == "bool":
+            low = val.strip().lower()
+            if low in ("1", "true", "yes", "on"):
+                coerced = True
+            elif low in ("0", "false", "no", "off"):
+                coerced = False
+            else:
+                raise ValueError(f"boolean field {key} got {val!r}")
+        elif val.strip().lower() == "none":
+            coerced = None
+        elif isinstance(cur, bool) is False and isinstance(cur, int):
+            coerced = int(val)
+        elif isinstance(cur, float):
+            coerced = float(val)
+        elif cur is None:
+            coerced = (int(val) if "int" in ann
+                       else float(val) if "float" in ann else val)
+        else:
+            coerced = type(cur)(val)
+        setattr(cfg, key, coerced)
+    return cfg
+
+
 def add_config_flags(parser: argparse.ArgumentParser, defaults: Config = None):
     """Register every Config field as a CLI flag (booleans as store_true /
     --no-X pairs), preserving the reference flag names."""

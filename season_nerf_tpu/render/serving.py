@@ -1,0 +1,232 @@
+"""HTTP render serving: a trained model directory as a long-lived service.
+
+Beyond-reference deployment surface (the reference only offers one-shot
+``main_run_Season_NeRF.py`` renders, main_run_Season_NeRF.py:1-60): load the
+model once, keep the jitted render kernels warm, and answer novel-view
+requests over plain HTTP — the shape a production tile/preview service
+takes.  Endpoints:
+
+- ``GET /healthz``          liveness + model identity (JSON)
+- ``GET /info``             site/config summary (JSON)
+- ``GET /render?view_el=70&view_az=30&sun_el=45&sun_az=180&t=07/19``
+  PNG novel view.  Optional: ``size`` (square, default 256),
+  ``layer`` = ``season`` (default, shadow-adjusted seasonal composite) |
+  ``base`` | ``shadow``, ``exact_shadow=1`` for secondary-ray shadows.
+- ``GET /dsm?size=256``     nadir height map; ``format=npy`` (default,
+  meters, NaN = no data) or ``format=png`` (normalized preview).
+
+Requests are served one render at a time (a lock around the device) from a
+threaded server, so health checks never queue behind a frame.  Everything
+is stdlib: ``http.server`` + PIL for PNG encoding (already a data-pipeline
+dependency).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def parse_time(tf: str) -> float:
+    """``MM/DD`` or a year fraction string -> year fraction in [0, 1)."""
+    if "/" in tf:
+        from season_nerf_tpu.geometry.time_enc import year_frac_from_month_day
+        month, day = tf.split("/")
+        return year_frac_from_month_day(int(month), int(day))
+    frac = float(tf)
+    if not 0.0 <= frac < 1.0 + 1e-9:
+        raise ValueError(f"year fraction out of [0, 1): {frac}")
+    return frac
+
+
+def load_renderer(model_dir: str, n_samples: Optional[int] = None):
+    """Model dir (opts.json + Final_Model.nn [+ W2C_W2L_H.npy]) ->
+    (cfg, Renderer, angles_to_vec or None)."""
+    import jax
+    import jax.numpy as jnp
+
+    from season_nerf_tpu.cli import angles_to_vec_from_site
+    from season_nerf_tpu.config import Config
+    from season_nerf_tpu.data.ingest import load_w2c_w2l
+    from season_nerf_tpu.models.tnerf import model_from_config
+    from season_nerf_tpu.render.renderer import Renderer
+    from season_nerf_tpu.train.state import restore_variables
+
+    cfg = Config.load_json(os.path.join(model_dir, "opts.json"))
+    model = model_from_config(cfg)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                          jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    variables, _ = restore_variables(
+        template, os.path.join(model_dir, "Final_Model.nn"))
+    to_vec = None
+    w2c = os.path.join(model_dir, "W2C_W2L_H.npy")
+    if os.path.exists(w2c):
+        wc, S = load_w2c_w2l(w2c)
+        to_vec = angles_to_vec_from_site(wc, S)
+    renderer = Renderer(model, variables,
+                        n_samples=n_samples or cfg.n_samples,
+                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
+                        use_hsluv=cfg.use_HSLuv)
+    return cfg, renderer, to_vec
+
+
+class RenderService:
+    """Thread-safe render facade over a loaded model directory."""
+
+    LAYERS = ("season", "base", "shadow")
+
+    def __init__(self, model_dir: str, n_samples: Optional[int] = None):
+        self.model_dir = os.path.abspath(model_dir)
+        self.cfg, self.renderer, self.angles_to_vec = \
+            load_renderer(model_dir, n_samples)
+        self._lock = threading.Lock()
+        self.renders_served = 0
+
+    def info(self) -> dict:
+        return {"model_dir": self.model_dir,
+                "site_name": self.cfg.site_name,
+                "exp_name": self.cfg.exp_name,
+                "n_samples": self.renderer.n_samples,
+                "fc_units": self.cfg.fc_units,
+                "classic_solar": bool(self.cfg.Solar_Type_2),
+                "use_HSLuv": bool(self.cfg.use_HSLuv),
+                "renders_served": self.renders_served}
+
+    def render_view(self, view_el_az: Tuple[float, float],
+                    sun_el_az: Tuple[float, float], time_frac: float,
+                    size: int = 256, layer: str = "season",
+                    exact_shadow: bool = False) -> np.ndarray:
+        """-> float image in [0, 1] (NaN where no ray was rendered)."""
+        if layer not in self.LAYERS:
+            raise ValueError(f"layer must be one of {self.LAYERS}")
+        from season_nerf_tpu.render.renderer import images_from_components
+        with self._lock:
+            comp = self.renderer.component_render_by_dir(
+                tuple(view_el_az), tuple(sun_el_az), float(time_frac),
+                (size, size), angles_to_vec=self.angles_to_vec,
+                exact_solar=exact_shadow)
+            self.renders_served += 1
+        imgs = images_from_components(comp, (size, size),
+                                      classic_shadows=self.cfg.Solar_Type_2)
+        if layer == "base":
+            return imgs["Base_Img"]
+        if layer == "shadow":
+            key = "Shadow_Mask_Exact" if exact_shadow else "Shadow_Mask"
+            return imgs[key]
+        return imgs["Season_Adj_Img"] * imgs["Shadow_Adjust"]
+
+    def dsm(self, size: int = 256) -> np.ndarray:
+        """Nadir height map in the model's [-1, 1] cube (NaN = no data)."""
+        with self._lock:
+            out = self.renderer.get_dsm(size)
+            self.renders_served += 1
+        return out
+
+
+def _png_bytes(img: np.ndarray) -> bytes:
+    from PIL import Image
+    arr = np.nan_to_num(np.asarray(img, np.float32), nan=0.0)
+    if arr.ndim == 2:
+        lo, hi = np.nanmin(arr), np.nanmax(arr)
+        arr = (arr - lo) / (hi - lo) if hi > lo else np.zeros_like(arr)
+    arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr))
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: RenderService = None      # set by make_server
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if os.environ.get("SERVE_RENDER_VERBOSE"):
+            super().log_message(fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, code: int, obj: dict):
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path == "/healthz":
+                return self._json(200, {"status": "ok",
+                                        **self.service.info()})
+            if url.path == "/info":
+                return self._json(200, self.service.info())
+            if url.path == "/render":
+                img = self.service.render_view(
+                    (float(q.get("view_el", 70.0)),
+                     float(q.get("view_az", 0.0))),
+                    (float(q.get("sun_el", 45.0)),
+                     float(q.get("sun_az", 180.0))),
+                    parse_time(q.get("t", "0.5")),
+                    size=int(q.get("size", 256)),
+                    layer=q.get("layer", "season"),
+                    exact_shadow=q.get("exact_shadow", "0")
+                    not in ("0", "", "false"))
+                return self._send(200, _png_bytes(img), "image/png")
+            if url.path == "/dsm":
+                arr = self.service.dsm(int(q.get("size", 256)))
+                if q.get("format", "npy") == "png":
+                    return self._send(200, _png_bytes(arr), "image/png")
+                return self._send(200, _npy_bytes(arr),
+                                  "application/octet-stream")
+            return self._json(404, {"error": f"unknown path {url.path}"})
+        except (ValueError, KeyError) as e:
+            return self._json(400, {"error": str(e)})
+        except BrokenPipeError:
+            pass
+        except Exception as e:        # surface server faults to the client
+            return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(service: RenderService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port 0 = ephemeral); caller runs serve_forever/handle_request."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--Model_Location", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8642)
+    p.add_argument("--n_samples", type=int, default=None)
+    p.add_argument("--warmup", action="store_true",
+                   help="render one small frame before accepting traffic "
+                        "(pays the compile up front)")
+    args = p.parse_args(argv)
+    service = RenderService(args.Model_Location, n_samples=args.n_samples)
+    if args.warmup:
+        service.render_view((70, 0), (45, 180), 0.5, size=32)
+    server = make_server(service, args.host, args.port)
+    print(f"serving {service.info()['site_name']} on "
+          f"http://{args.host}:{server.server_address[1]}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

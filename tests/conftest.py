@@ -23,3 +23,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_model_dir(tmp_path_factory):
+    """A minimal self-describing model directory (opts.json +
+    Final_Model.nn) that render/movie/serving tools can load."""
+    import jax.numpy as jnp
+    from season_nerf_tpu.config import Config
+    from season_nerf_tpu.models.tnerf import model_from_config
+    from season_nerf_tpu.train.state import save_model_artifact
+
+    d = tmp_path_factory.mktemp("model_dir")
+    cfg = Config(site_name="tiny", fc_units=32, fc_layers=2,
+                 n_samples=16, chunk=4096)
+    cfg.save_json(str(d / "opts.json"))
+    model = model_from_config(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    save_model_artifact(str(d / "Final_Model.nn"), variables["params"],
+                        variables.get("batch_stats", {}), meta={})
+    return str(d)

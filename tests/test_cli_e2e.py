@@ -224,3 +224,26 @@ def test_lite_defaults_match_reference():
     assert cfg.img_training_downscale == 4
     assert cfg.img_validation_downscale == 8
     assert cfg.site_name == "OMA_281" and cfg.exp_name == "OMA_281_Lite"
+
+
+def test_select_best_geometry_cli(trained_dir):
+    """The post-hoc geometry-best study tool runs against a completed
+    synthetic run dir and ranks its save points (tools/select_best_geometry)."""
+    import json
+    import subprocess
+    import sys
+    cfg, logs, _analysis, _trainer = trained_dir
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # drop PYTHONPATH so the axon site hook can't re-force the TPU platform
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "select_best_geometry.py"),
+         logs, "--skip-full-eval"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert res.returncode == 0, res.stderr
+    json_rows = [json.loads(ln) for ln in res.stdout.splitlines()
+                 if ln.startswith("{")]
+    assert json_rows, res.stdout
+    assert all("step" in r and "prior_mae" in r for r in json_rows)
+    assert "selected (argmin prior-DSM MAE)" in res.stdout

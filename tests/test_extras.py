@@ -263,3 +263,26 @@ def test_export_render_roundtrip(tmp_path):
     r = subprocess.run([_sys.executable, "-c", check], cwd=str(tmp_path),
                        env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0 and "clean-process ok" in r.stdout, r.stderr
+
+
+def test_apply_overrides_coercion():
+    from season_nerf_tpu.config import Config, apply_overrides
+    cfg = Config()
+    apply_overrides(cfg, ["fc_units=128", "lr=0.001", "use_HSLuv=False",
+                          "fast_sine=no", "Use_Solar=1",
+                          "mesh_shape=4", "exp_name=abc"])
+    assert cfg.fc_units == 128 and isinstance(cfg.fc_units, int)
+    assert cfg.lr == 0.001
+    assert cfg.use_HSLuv is False          # bool("False") is True — the bug
+    assert cfg.fast_sine is False
+    assert cfg.Use_Solar is True
+    assert cfg.mesh_shape == 4             # None-default int field
+    assert cfg.exp_name == "abc"
+    apply_overrides(cfg, ["mesh_shape=none"])
+    assert cfg.mesh_shape is None
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["not_a_field=1"])
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["use_HSLuv=maybe"])
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["missing_equals"])

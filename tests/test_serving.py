@@ -1,0 +1,117 @@
+"""HTTP render-service tests (season_nerf_tpu/render/serving.py).
+
+Starts the real ThreadingHTTPServer on an ephemeral port and drives it with
+urllib — the same path `tools/serve_render.py` wires up.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from season_nerf_tpu.render.serving import (RenderService, make_server,
+                                            parse_time)
+
+
+def test_parse_time():
+    assert parse_time("0.25") == 0.25
+    # 07/19 must match the CLI's month/day conversion
+    from season_nerf_tpu.geometry.time_enc import year_frac_from_month_day
+    assert parse_time("07/19") == year_frac_from_month_day(7, 19)
+    with pytest.raises(ValueError):
+        parse_time("1.5")
+    with pytest.raises(ValueError):
+        parse_time("not-a-time")
+
+
+@pytest.fixture(scope="module")
+def server(tiny_model_dir):
+    service = RenderService(tiny_model_dir)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, service
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_healthz_and_info(server):
+    base, service = server
+    code, ctype, body = _get(base + "/healthz")
+    assert code == 200 and ctype == "application/json"
+    d = json.loads(body)
+    assert d["status"] == "ok" and d["site_name"] == "tiny"
+    code, _, body = _get(base + "/info")
+    assert json.loads(body)["n_samples"] == 16
+
+
+def test_render_png(server):
+    base, service = server
+    before = service.renders_served
+    code, ctype, body = _get(
+        base + "/render?view_el=70&view_az=30&sun_el=45&sun_az=180"
+               "&t=07/19&size=16")
+    assert code == 200 and ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    from PIL import Image
+    img = Image.open(io.BytesIO(body))
+    assert img.size == (16, 16)
+    assert service.renders_served == before + 1
+
+
+def test_render_layers(server):
+    base, _ = server
+    for layer in ("base", "shadow"):
+        code, ctype, body = _get(
+            base + f"/render?size=8&t=0.5&layer={layer}")
+        assert code == 200 and ctype == "image/png", layer
+
+
+def test_dsm_npy_and_png(server):
+    base, _ = server
+    code, ctype, body = _get(base + "/dsm?size=8")
+    assert code == 200 and ctype == "application/octet-stream"
+    arr = np.load(io.BytesIO(body))
+    assert arr.shape == (8, 8)
+    code, ctype, _ = _get(base + "/dsm?size=8&format=png")
+    assert code == 200 and ctype == "image/png"
+
+
+def test_bad_requests(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/render?size=8&t=2.5")
+    assert e.value.code == 400
+    assert "year fraction" in json.loads(e.value.read())["error"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/render?size=8&layer=nope")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/unknown")
+    assert e.value.code == 404
+
+
+def test_concurrent_requests(server):
+    """The device lock must serialize renders without deadlocking the
+    threaded server."""
+    base, _ = server
+    results = []
+
+    def hit():
+        results.append(_get(base + "/render?size=8&t=0.25")[0])
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert results == [200, 200, 200, 200]

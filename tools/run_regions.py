@@ -27,7 +27,7 @@ def main():
                    help="override any Config field, e.g. --set fc_units=128")
     args = p.parse_args()
 
-    from season_nerf_tpu.config import Config, lite_defaults
+    from season_nerf_tpu.config import Config, apply_overrides, lite_defaults
     from season_nerf_tpu.cli import run_test
     from season_nerf_tpu.eval.regional import multi_region_merge
 
@@ -39,10 +39,7 @@ def main():
         cfg.IO_Location = args.IO_Location
         if args.max_train_steps:
             cfg.max_train_steps = args.max_train_steps
-        for kv in args.set:
-            key, val = kv.split("=", 1)
-            cur = getattr(cfg, key)
-            setattr(cfg, key, type(cur)(val) if cur is not None else val)
+        apply_overrides(cfg, args.set)
         cfg.resolve_dirs()
         cfg.enable_compile_cache()
         cfg.save_json()

@@ -6,7 +6,10 @@ model once, keep the jitted render kernels warm, and answer novel-view
 requests over plain HTTP — the shape a production tile/preview service
 takes.  Endpoints:
 
-- ``GET /healthz``          liveness + model identity (JSON)
+- ``GET /healthz``          liveness + model identity (JSON); returns 503
+  ``status=wedged`` when one render has held the device longer than
+  ``--wedge_timeout`` (the tunneled-accelerator hang failure mode), so an
+  orchestrator can rotate the replica instead of queueing on it
 - ``GET /info``             site/config summary (JSON)
 - ``GET /render?view_el=70&view_az=30&sun_el=45&sun_az=180&t=07/19``
   PNG novel view.  Optional: ``size`` (square, default 256),
@@ -27,6 +30,7 @@ import io
 import json
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 from urllib.parse import parse_qs, urlparse
@@ -82,12 +86,29 @@ class RenderService:
 
     LAYERS = ("season", "base", "shadow")
 
-    def __init__(self, model_dir: str, n_samples: Optional[int] = None):
+    def __init__(self, model_dir: str, n_samples: Optional[int] = None,
+                 wedge_timeout: Optional[float] = 600.0):
         self.model_dir = os.path.abspath(model_dir)
         self.cfg, self.renderer, self.angles_to_vec = \
             load_renderer(model_dir, n_samples)
         self._lock = threading.Lock()
         self.renders_served = 0
+        # The tunneled-device failure mode is a render RPC that never
+        # returns (docs/DESIGN.md "Operational robustness"); healthz goes
+        # unhealthy once one render has held the device this long, so an
+        # orchestrator can rotate the replica instead of queueing on it.
+        self.wedge_timeout = wedge_timeout
+        self._busy_since: Optional[float] = None
+
+    def busy_seconds(self) -> Optional[float]:
+        """Seconds the current render has held the device (None if idle)."""
+        t0 = self._busy_since
+        return None if t0 is None else time.monotonic() - t0
+
+    def wedged(self) -> bool:
+        busy = self.busy_seconds()
+        return (self.wedge_timeout is not None and busy is not None
+                and busy > self.wedge_timeout)
 
     def info(self) -> dict:
         return {"model_dir": self.model_dir,
@@ -97,7 +118,8 @@ class RenderService:
                 "fc_units": self.cfg.fc_units,
                 "classic_solar": bool(self.cfg.Solar_Type_2),
                 "use_HSLuv": bool(self.cfg.use_HSLuv),
-                "renders_served": self.renders_served}
+                "renders_served": self.renders_served,
+                "busy_seconds": self.busy_seconds()}
 
     def render_view(self, view_el_az: Tuple[float, float],
                     sun_el_az: Tuple[float, float], time_frac: float,
@@ -108,11 +130,15 @@ class RenderService:
             raise ValueError(f"layer must be one of {self.LAYERS}")
         from season_nerf_tpu.render.renderer import images_from_components
         with self._lock:
-            comp = self.renderer.component_render_by_dir(
-                tuple(view_el_az), tuple(sun_el_az), float(time_frac),
-                (size, size), angles_to_vec=self.angles_to_vec,
-                exact_solar=exact_shadow)
-            self.renders_served += 1
+            self._busy_since = time.monotonic()
+            try:
+                comp = self.renderer.component_render_by_dir(
+                    tuple(view_el_az), tuple(sun_el_az), float(time_frac),
+                    (size, size), angles_to_vec=self.angles_to_vec,
+                    exact_solar=exact_shadow)
+                self.renders_served += 1
+            finally:
+                self._busy_since = None
         imgs = images_from_components(comp, (size, size),
                                       classic_shadows=self.cfg.Solar_Type_2)
         if layer == "base":
@@ -125,8 +151,12 @@ class RenderService:
     def dsm(self, size: int = 256) -> np.ndarray:
         """Nadir height map in the model's [-1, 1] cube (NaN = no data)."""
         with self._lock:
-            out = self.renderer.get_dsm(size)
-            self.renders_served += 1
+            self._busy_since = time.monotonic()
+            try:
+                out = self.renderer.get_dsm(size)
+                self.renders_served += 1
+            finally:
+                self._busy_since = None
         return out
 
 
@@ -170,6 +200,9 @@ class _Handler(BaseHTTPRequestHandler):
         q = {k: v[-1] for k, v in parse_qs(url.query).items()}
         try:
             if url.path == "/healthz":
+                if self.service.wedged():
+                    return self._json(503, {"status": "wedged",
+                                            **self.service.info()})
                 return self._json(200, {"status": "ok",
                                         **self.service.info()})
             if url.path == "/info":
@@ -218,8 +251,13 @@ def main(argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="render one small frame before accepting traffic "
                         "(pays the compile up front)")
+    p.add_argument("--wedge_timeout", type=float, default=600.0,
+                   help="healthz reports 503/wedged once a single render "
+                        "has held the device this many seconds "
+                        "(0 disables)")
     args = p.parse_args(argv)
-    service = RenderService(args.Model_Location, n_samples=args.n_samples)
+    service = RenderService(args.Model_Location, n_samples=args.n_samples,
+                            wedge_timeout=args.wedge_timeout or None)
     if args.warmup:
         service.render_view((70, 0), (45, 180), 0.5, size=32)
     server = make_server(service, args.host, args.port)

@@ -100,6 +100,28 @@ def test_bad_requests(server):
     assert e.value.code == 404
 
 
+def test_healthz_wedge_detection(server):
+    """A render that holds the device past wedge_timeout flips healthz to
+    503/wedged; recovery flips it back."""
+    import time
+    base, service = server
+    old = service.wedge_timeout
+    try:
+        service.wedge_timeout = 10.0
+        service._busy_since = time.monotonic() - 60.0   # simulate a hang
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/healthz")
+        assert e.value.code == 503
+        d = json.loads(e.value.read())
+        assert d["status"] == "wedged" and d["busy_seconds"] > 10
+    finally:
+        service._busy_since = None
+        service.wedge_timeout = old
+    code, _, body = _get(base + "/healthz")
+    assert code == 200 and json.loads(body)["status"] == "ok"
+    assert json.loads(body)["busy_seconds"] is None
+
+
 def test_concurrent_requests(server):
     """The device lock must serialize renders without deadlocking the
     threaded server."""

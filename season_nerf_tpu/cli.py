@@ -58,11 +58,16 @@ def _prepare_synthetic(cfg: Config):
     train_idx, test_idx = train_test_split(len(scene.cameras),
                                            testing_size=cfg.testing_size)
     if cfg.logs_dir:
+        from season_nerf_tpu.data.ingest import save_world_artifact
         names = [c.name for c in scene.cameras]
         with open(os.path.join(cfg.logs_dir, "Training_Imgs.txt"), "w") as f:
             f.write("\n".join(names[i] for i in train_idx))
         with open(os.path.join(cfg.logs_dir, "Testing_Imgs.txt"), "w") as f:
             f.write("\n".join(names[i] for i in test_idx))
+        # no world frame for a synthetic site, but the height range still
+        # lets a deployed model dir serve height maps in meters
+        save_world_artifact(os.path.join(cfg.logs_dir, "W2C_W2L_H.npy"),
+                            None, None, (0.0, 30.0))
     return (scene.cameras, table, list(train_idx), list(test_idx),
             scene.prior_hm, scene.hm, (0.0, 30.0), None, None)
 
@@ -254,27 +259,9 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
     (main_run_Season_NeRF.py:26): an int renders square at the model's
     n_samples; (H, W) sets the frame; (H, W, S) also overrides
     samples-per-ray."""
-    import jax.numpy as jnp
-    from season_nerf_tpu.train.state import restore_variables
-    from season_nerf_tpu.render.renderer import Renderer, \
-        images_from_components
-    from season_nerf_tpu.data.ingest import load_w2c_w2l
+    from season_nerf_tpu.render.renderer import images_from_components
+    from season_nerf_tpu.render.loading import load_model_dir
     from season_nerf_tpu.geometry.time_enc import year_frac_from_month_day
-    import jax
-
-    cfg = Config.load_json(os.path.join(model_dir, "opts.json"))
-    from season_nerf_tpu.models.tnerf import model_from_config
-    model = model_from_config(cfg)
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
-                          jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
-    variables, meta = restore_variables(
-        template, os.path.join(model_dir, "Final_Model.nn"))
-
-    w2c_path = os.path.join(model_dir, "W2C_W2L_H.npy")
-    angles_to_vec = None
-    if os.path.exists(w2c_path):
-        wc, S = load_w2c_w2l(w2c_path)
-        angles_to_vec = angles_to_vec_from_site(wc, S)
 
     try:
         if "/" in tf:
@@ -287,18 +274,16 @@ def render_pretrained(model_dir: str, va: Tuple[float, float],
             f"--tf must be MM/DD (e.g. 07/19) or a year fraction in [0,1); "
             f"got {tf!r}")
 
-    size = ((out_size, out_size, cfg.n_samples)
+    size = ((out_size, out_size, None)
             if np.isscalar(out_size) else tuple(out_size))
     hw = (size[0], size[1] if len(size) > 1 else size[0])
-    n_samples = size[2] if len(size) > 2 else cfg.n_samples
+    n_samples = size[2] if len(size) > 2 else None
 
-    from season_nerf_tpu.train.engine import _auto_mesh
-    renderer = Renderer(model, variables, n_samples=n_samples,
-                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
-                        use_hsluv=cfg.use_HSLuv, mesh=_auto_mesh(cfg, strict=False))
-    comp = renderer.component_render_by_dir(
+    loaded = load_model_dir(model_dir, n_samples=n_samples, use_mesh=True)
+    cfg = loaded.cfg
+    comp = loaded.renderer.component_render_by_dir(
         tuple(va), tuple(sa), year_frac, hw,
-        angles_to_vec=angles_to_vec, exact_solar=exact_shadow)
+        angles_to_vec=loaded.angles_to_vec, exact_solar=exact_shadow)
     imgs = images_from_components(comp, hw,
                                   classic_shadows=cfg.Solar_Type_2)
     shown = imgs["Season_Adj_Img"] * imgs["Shadow_Adjust"]

@@ -273,6 +273,12 @@ def apply_overrides(cfg: Config, pairs):
             else:
                 raise ValueError(f"boolean field {key} got {val!r}")
         elif val.strip().lower() == "none":
+            # only fields declared Optional may be cleared — coercing e.g.
+            # lr=none would otherwise crash far from the override site
+            if "Optional" not in ann and "None" not in ann:
+                raise ValueError(
+                    f"config field {key} is not Optional; cannot set it "
+                    f"to None (got {kv!r})")
             coerced = None
         elif isinstance(cur, bool) is False and isinstance(cur, int):
             coerced = int(val)

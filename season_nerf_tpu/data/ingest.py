@@ -137,11 +137,25 @@ def world_transform(site: SiteData):
 
 def save_w2c_w2l(path: str, site: SiteData):
     wc, S = world_transform(site)
-    arr = np.empty(2, object)
-    arr[0], arr[1] = wc, S
+    save_world_artifact(path, wc, S, tuple(site.bounds_lla[2]))
+
+
+def save_world_artifact(path: str, wc, S, h_range=None):
+    """Write the W2C_W2L_H.npy artifact: (world_center, W2L similarity,
+    site height range in meters).  The reference stores only the first two
+    (main.py:27-32); carrying h_range lets a deployed model dir serve
+    height maps in meters without the original site data.  Any field may
+    be None (synthetic runs have no world frame)."""
+    arr = np.empty(3, object)
+    arr[0], arr[1], arr[2] = wc, S, h_range
     np.save(path, arr, allow_pickle=True)
 
 
 def load_w2c_w2l(path: str):
+    """-> (world_center, W2L similarity, h_range-or-None).  Reads both the
+    3-element artifact and the legacy 2-element layout (h_range None)."""
     arr = np.load(path, allow_pickle=True)
-    return arr[0], arr[1]
+    h_range = arr[2] if arr.shape[0] > 2 else None
+    if h_range is not None:
+        h_range = (float(h_range[0]), float(h_range[1]))
+    return arr[0], arr[1], h_range

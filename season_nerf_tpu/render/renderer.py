@@ -108,6 +108,23 @@ def camera_grid_rays(cam, out_size):
     return tops[good], bots[good], img_pts[good], RC[good]
 
 
+def render_chunk_outputs(model, variables, tops, bots, sun, t4, *,
+                         n_samples: int, classic_solar: bool):
+    """The full-composite per-chunk render contract: per-ray rendered
+    color, raw shadow visibility, expected surface height, accumulated
+    opacity.  The single source of truth shared by ``Renderer._full_chunk``
+    and ``tools/export_render.py`` — the exported StableHLO artifact
+    matches the live renderer by construction, not by a parallel copy."""
+    out, _ = rendering.eval_rays(
+        model, variables, None, tops, bots, sun, t4,
+        n_samples=n_samples, train=False, classic_solar=classic_solar)
+    shadow = jnp.sum(out["ps"] * out["vis"], axis=1)[:, 0]
+    surf, _ = rendering.expected_surface(out["ps"], out["pts"],
+                                         out["deltas"])
+    return {"rendered": out["rendered"], "shadow_raw": shadow,
+            "height": surf[:, 2], "ps_sum": jnp.sum(out["ps"], (1, 2))}
+
+
 class Renderer:
     """Whole-image renderer over a trained T-NeRF."""
 
@@ -153,15 +170,9 @@ class Renderer:
         # train=False); passing no key makes that explicit instead of
         # threading a fixed PRNGKey that would silently reuse if anyone
         # flipped train semantics
-        out, _ = rendering.eval_rays(
-            self.model, variables, None, tops, bots, sun,
-            t4, n_samples=self.n_samples, train=False,
-            classic_solar=self.classic_solar)
-        shadow = jnp.sum(out["ps"] * out["vis"], axis=1)[:, 0]
-        surf, _ = rendering.expected_surface(out["ps"], out["pts"],
-                                             out["deltas"])
-        return {"rendered": out["rendered"], "shadow_raw": shadow,
-                "height": surf[:, 2], "ps_sum": jnp.sum(out["ps"], (1, 2))}
+        return render_chunk_outputs(self.model, variables, tops, bots, sun,
+                                    t4, n_samples=self.n_samples,
+                                    classic_solar=self.classic_solar)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _component_chunk(self, variables, tops, bots, sun, t4):

@@ -14,9 +14,14 @@ takes.  Endpoints:
 - ``GET /render?view_el=70&view_az=30&sun_el=45&sun_az=180&t=07/19``
   PNG novel view.  Optional: ``size`` (square, default 256),
   ``layer`` = ``season`` (default, shadow-adjusted seasonal composite) |
-  ``base`` | ``shadow``, ``exact_shadow=1`` for secondary-ray shadows.
+  ``base`` | ``shadow``, ``exact_shadow=1`` for secondary-ray shadows
+  (shadow mask and shadow adjustment both come from the exact pass).
 - ``GET /dsm?size=256``     nadir height map; ``format=npy`` (default,
-  meters, NaN = no data) or ``format=png`` (normalized preview).
+  NaN = no data) or ``format=png`` (min-max stretched preview; 0 =
+  no data, valid heights span 1..255).  Heights are in meters when the
+  model dir's ``W2C_W2L_H.npy`` records the site height range, else the
+  model's [-1, 1] cube — the ``X-DSM-Units`` response header says which
+  (``meters`` | ``normalized``).
 
 Requests are served one render at a time (a lock around the device) from a
 threaded server, so health checks never queue behind a frame.  Everything
@@ -50,35 +55,15 @@ def parse_time(tf: str) -> float:
     return frac
 
 
-def load_renderer(model_dir: str, n_samples: Optional[int] = None):
-    """Model dir (opts.json + Final_Model.nn [+ W2C_W2L_H.npy]) ->
-    (cfg, Renderer, angles_to_vec or None)."""
-    import jax
-    import jax.numpy as jnp
-
-    from season_nerf_tpu.cli import angles_to_vec_from_site
-    from season_nerf_tpu.config import Config
-    from season_nerf_tpu.data.ingest import load_w2c_w2l
-    from season_nerf_tpu.models.tnerf import model_from_config
-    from season_nerf_tpu.render.renderer import Renderer
-    from season_nerf_tpu.train.state import restore_variables
-
-    cfg = Config.load_json(os.path.join(model_dir, "opts.json"))
-    model = model_from_config(cfg)
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
-                          jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
-    variables, _ = restore_variables(
-        template, os.path.join(model_dir, "Final_Model.nn"))
-    to_vec = None
-    w2c = os.path.join(model_dir, "W2C_W2L_H.npy")
-    if os.path.exists(w2c):
-        wc, S = load_w2c_w2l(w2c)
-        to_vec = angles_to_vec_from_site(wc, S)
-    renderer = Renderer(model, variables,
-                        n_samples=n_samples or cfg.n_samples,
-                        chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
-                        use_hsluv=cfg.use_HSLuv)
-    return cfg, renderer, to_vec
+def _parse_bool(val: str, name: str) -> bool:
+    """Query-string boolean: the same vocabulary config.apply_overrides
+    accepts (1/true/yes/on, 0/false/no/off, case-insensitive)."""
+    low = str(val).strip().lower()
+    if low in ("1", "true", "yes", "on"):
+        return True
+    if low in ("0", "false", "no", "off", ""):
+        return False
+    raise ValueError(f"boolean query parameter {name} got {val!r}")
 
 
 class RenderService:
@@ -88,9 +73,15 @@ class RenderService:
 
     def __init__(self, model_dir: str, n_samples: Optional[int] = None,
                  wedge_timeout: Optional[float] = 600.0):
+        from season_nerf_tpu.render.loading import load_model_dir
         self.model_dir = os.path.abspath(model_dir)
-        self.cfg, self.renderer, self.angles_to_vec = \
-            load_renderer(model_dir, n_samples)
+        # use_mesh: a long-lived service on a multi-chip host shards every
+        # render chunk over the data mesh, same as the one-shot CLI path
+        loaded = load_model_dir(model_dir, n_samples=n_samples,
+                                use_mesh=True)
+        self.cfg, self.renderer = loaded.cfg, loaded.renderer
+        self.angles_to_vec, self.h_range = (loaded.angles_to_vec,
+                                            loaded.h_range)
         self._lock = threading.Lock()
         self.renders_served = 0
         # The tunneled-device failure mode is a render RPC that never
@@ -119,7 +110,11 @@ class RenderService:
                 "classic_solar": bool(self.cfg.Solar_Type_2),
                 "use_HSLuv": bool(self.cfg.use_HSLuv),
                 "renders_served": self.renders_served,
-                "busy_seconds": self.busy_seconds()}
+                "busy_seconds": self.busy_seconds(),
+                "dsm_units": "meters" if self.h_range is not None
+                             else "normalized",
+                "h_range": list(self.h_range)
+                           if self.h_range is not None else None}
 
     def render_view(self, view_el_az: Tuple[float, float],
                     sun_el_az: Tuple[float, float], time_frac: float,
@@ -129,13 +124,16 @@ class RenderService:
         if layer not in self.LAYERS:
             raise ValueError(f"layer must be one of {self.LAYERS}")
         from season_nerf_tpu.render.renderer import images_from_components
+        # the base composite never uses the shadow maps — don't pay the
+        # O(n_samples^2) secondary-ray pass just to discard it
+        exact = exact_shadow and layer != "base"
         with self._lock:
             self._busy_since = time.monotonic()
             try:
                 comp = self.renderer.component_render_by_dir(
                     tuple(view_el_az), tuple(sun_el_az), float(time_frac),
                     (size, size), angles_to_vec=self.angles_to_vec,
-                    exact_solar=exact_shadow)
+                    exact_solar=exact)
                 self.renders_served += 1
             finally:
                 self._busy_since = None
@@ -144,12 +142,14 @@ class RenderService:
         if layer == "base":
             return imgs["Base_Img"]
         if layer == "shadow":
-            key = "Shadow_Mask_Exact" if exact_shadow else "Shadow_Mask"
-            return imgs[key]
-        return imgs["Season_Adj_Img"] * imgs["Shadow_Adjust"]
+            return imgs["Shadow_Mask_Exact" if exact else "Shadow_Mask"]
+        adj = imgs["Shadow_Adjust_Exact" if exact else "Shadow_Adjust"]
+        return imgs["Season_Adj_Img"] * adj
 
-    def dsm(self, size: int = 256) -> np.ndarray:
-        """Nadir height map in the model's [-1, 1] cube (NaN = no data)."""
+    def dsm(self, size: int = 256) -> Tuple[np.ndarray, str]:
+        """Nadir height map -> (array, units).  Units are ``"meters"``
+        when the model dir records the site height range (W2C_W2L_H.npy),
+        else ``"normalized"`` ([-1, 1] cube).  NaN = no data."""
         with self._lock:
             self._busy_since = time.monotonic()
             try:
@@ -157,18 +157,37 @@ class RenderService:
                 self.renders_served += 1
             finally:
                 self._busy_since = None
-        return out
+        if self.h_range is not None:
+            h0, h1 = self.h_range
+            # the eval stack's normalized->meters map (eval/hm_eval.eval_hm)
+            return (out + 1.0) / 2.0 * (h1 - h0) + h0, "meters"
+        return out, "normalized"
 
 
-def _png_bytes(img: np.ndarray) -> bytes:
+def _png_bytes(img: np.ndarray, stretch: bool = False) -> bytes:
+    """Encode a float image as PNG.  ``stretch`` (height-map previews):
+    min-max normalize the *finite* pixels into 1..255 and reserve 0 for
+    NaN/no-data, so empty corners neither pollute the contrast range nor
+    masquerade as a valid low height.  Without ``stretch`` (color/mask
+    layers): absolute [0, 1] clip — a uniformly lit shadow mask must stay
+    white, not be renormalized to black."""
     from PIL import Image
-    arr = np.nan_to_num(np.asarray(img, np.float32), nan=0.0)
-    if arr.ndim == 2:
-        lo, hi = np.nanmin(arr), np.nanmax(arr)
-        arr = (arr - lo) / (hi - lo) if hi > lo else np.zeros_like(arr)
-    arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    arr = np.asarray(img, np.float32)
+    if stretch and arr.ndim == 2:
+        finite = np.isfinite(arr)
+        if finite.any():
+            lo, hi = arr[finite].min(), arr[finite].max()
+            span = (arr - lo) / (hi - lo) if hi > lo else np.ones_like(arr)
+            span = np.where(finite, span, 0.0)
+            u8 = np.where(finite,
+                          1 + np.clip(span, 0.0, 1.0) * 254, 0).astype(np.uint8)
+        else:
+            u8 = np.zeros(arr.shape, np.uint8)
+    else:
+        arr = np.nan_to_num(arr, nan=0.0)
+        u8 = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
+    Image.fromarray(u8).save(buf, format="PNG")
     return buf.getvalue()
 
 
@@ -185,10 +204,12 @@ class _Handler(BaseHTTPRequestHandler):
         if os.environ.get("SERVE_RENDER_VERBOSE"):
             super().log_message(fmt, *args)
 
-    def _send(self, code: int, body: bytes, ctype: str):
+    def _send(self, code: int, body: bytes, ctype: str, headers=()):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in headers:
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -216,15 +237,17 @@ class _Handler(BaseHTTPRequestHandler):
                     parse_time(q.get("t", "0.5")),
                     size=int(q.get("size", 256)),
                     layer=q.get("layer", "season"),
-                    exact_shadow=q.get("exact_shadow", "0")
-                    not in ("0", "", "false"))
+                    exact_shadow=_parse_bool(q.get("exact_shadow", "0"),
+                                             "exact_shadow"))
                 return self._send(200, _png_bytes(img), "image/png")
             if url.path == "/dsm":
-                arr = self.service.dsm(int(q.get("size", 256)))
+                arr, units = self.service.dsm(int(q.get("size", 256)))
+                hdr = (("X-DSM-Units", units),)
                 if q.get("format", "npy") == "png":
-                    return self._send(200, _png_bytes(arr), "image/png")
+                    return self._send(200, _png_bytes(arr, stretch=True),
+                                      "image/png", hdr)
                 return self._send(200, _npy_bytes(arr),
-                                  "application/octet-stream")
+                                  "application/octet-stream", hdr)
             return self._json(404, {"error": f"unknown path {url.path}"})
         except (ValueError, KeyError) as e:
             return self._json(400, {"error": str(e)})

@@ -46,4 +46,8 @@ def tiny_model_dir(tmp_path_factory):
                            jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
     save_model_artifact(str(d / "Final_Model.nn"), variables["params"],
                         variables.get("batch_stats", {}), meta={})
+    # synthetic-style world artifact: no world frame, but a height range —
+    # exercises both the wc-None guard and meters-unit serving
+    from season_nerf_tpu.data.ingest import save_world_artifact
+    save_world_artifact(str(d / "W2C_W2L_H.npy"), None, None, (0.0, 30.0))
     return str(d)

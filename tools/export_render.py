@@ -27,26 +27,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_render_fn(model, variables, n_samples: int, classic_solar: bool):
     """The pure per-chunk render function with weights closed over (they
-    export as constants).  Mirrors Renderer._full_chunk
-    (render/renderer.py) — one source of truth for the output contract."""
-    import jax.numpy as jnp
-    from season_nerf_tpu.ops import rendering
+    export as constants).  Delegates to the live renderer's own
+    ``render_chunk_outputs`` (render/renderer.py) — literally one source
+    of truth for the output contract, so the exported artifact cannot
+    drift from ``Renderer._full_chunk``."""
+    from season_nerf_tpu.render.renderer import render_chunk_outputs
 
     def render_chunk(tops, bots, sun, t4):
-        out, _ = rendering.eval_rays(
-            model, variables, None, tops, bots, sun, t4,
-            n_samples=n_samples, train=False, classic_solar=classic_solar)
-        shadow = jnp.sum(out["ps"] * out["vis"], axis=1)[:, 0]
-        surf, _ = rendering.expected_surface(out["ps"], out["pts"],
-                                             out["deltas"])
-        return {"rendered": out["rendered"], "shadow_raw": shadow,
-                "height": surf[:, 2], "ps_sum": jnp.sum(out["ps"], (1, 2))}
+        return render_chunk_outputs(model, variables, tops, bots, sun, t4,
+                                    n_samples=n_samples,
+                                    classic_solar=classic_solar)
 
     return render_chunk
 
 
 def export_render(model, variables, n_samples: int, chunk: int,
-                  classic_solar: bool = False):
+                  classic_solar: bool = False, use_hsluv: bool = False):
     """Serialize the render kernel; returns (blob: bytes, manifest: dict)."""
     import jax
     import jax.numpy as jnp
@@ -68,6 +64,11 @@ def export_render(model, variables, n_samples: int, chunk: int,
         "n_samples": n_samples,
         "classic_solar": classic_solar,
         "dtype": "float32",
+        # a use_HSLuv-trained model's color head emits normalized HSLuv
+        # (channels h/360, s/100, l/100); the live Renderer converts to
+        # sRGB host-side (utils/hsluv.hsluv_normalized_to_rgb) — a
+        # consumer of this artifact must do the same
+        "color_space": "hsluv-normalized" if use_hsluv else "srgb",
         "note": "single-device program; drive chunking/sharding host-side",
     }
     return exp.serialize(), manifest
@@ -95,21 +96,19 @@ def main():
 
     import numpy as np
     import jax
-    import jax.numpy as jnp
-    from season_nerf_tpu.config import Config
-    from season_nerf_tpu.models.tnerf import model_from_config
-    from season_nerf_tpu.train.state import restore_variables
+    from season_nerf_tpu.render.loading import load_model_dir
 
-    cfg = Config.load_json(os.path.join(args.model_dir, "opts.json"))
-    model = model_from_config(cfg)
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
-                          jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
-    variables, _ = restore_variables(
-        template, os.path.join(args.model_dir, "Final_Model.nn"))
+    loaded = load_model_dir(args.model_dir)
+    cfg, model, variables = loaded.cfg, loaded.model, loaded.variables
 
     chunk = args.chunk or cfg.chunk
     blob, manifest = export_render(model, variables, cfg.n_samples, chunk,
-                                   classic_solar=cfg.Solar_Type_2)
+                                   classic_solar=cfg.Solar_Type_2,
+                                   use_hsluv=cfg.use_HSLuv)
+    if cfg.use_HSLuv:
+        print("note: model trained in HSLuv — the artifact's 'rendered' "
+              "output is normalized HSLuv (see manifest color_space); "
+              "convert to sRGB host-side")
     out = args.output or os.path.join(args.model_dir, "render.jaxexp")
     with open(out, "wb") as f:
         f.write(blob)

@@ -32,31 +32,13 @@ def main():
                         "values starting with a minus")
     args = p.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-    from season_nerf_tpu.config import Config
-    from season_nerf_tpu.models.tnerf import model_from_config
-    from season_nerf_tpu.train.state import restore_variables
-    from season_nerf_tpu.render.renderer import Renderer
     from season_nerf_tpu.render.movie import (MovieScript, render_movie,
                                               export_film)
-    from season_nerf_tpu.cli import angles_to_vec_from_site
-    from season_nerf_tpu.data.ingest import load_w2c_w2l
+    from season_nerf_tpu.render.loading import load_model_dir
 
-    cfg = Config.load_json(os.path.join(args.Model_Location, "opts.json"))
-    model = model_from_config(cfg)
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
-                          jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
-    variables, _ = restore_variables(
-        template, os.path.join(args.Model_Location, "Final_Model.nn"))
-    to_vec = None
-    w2c = os.path.join(args.Model_Location, "W2C_W2L_H.npy")
-    if os.path.exists(w2c):
-        wc, S = load_w2c_w2l(w2c)
-        to_vec = angles_to_vec_from_site(wc, S)
-
-    r = Renderer(model, variables, n_samples=cfg.n_samples, chunk=cfg.chunk,
-                 classic_solar=cfg.Solar_Type_2, use_hsluv=cfg.use_HSLuv)
+    loaded = load_model_dir(args.Model_Location, use_mesh=True)
+    to_vec = loaded.angles_to_vec
+    r = loaded.renderer
     script = MovieScript()
     if args.pose_keyframe:
         for kf in args.pose_keyframe:

@@ -39,13 +39,13 @@ _TERM_EXPONENTS = [
     (0, 0, 2),  # H^2
     (1, 1, 1),  # P*L*H
     (0, 3, 0),  # L^3
-    (1, 2, 0),  # L^2*P
-    (0, 1, 2),  # L*H^2
     (2, 1, 0),  # L*P^2
+    (0, 1, 2),  # L*H^2
+    (1, 2, 0),  # L^2*P
     (3, 0, 0),  # P^3
     (1, 0, 2),  # P*H^2
-    (2, 0, 1),  # P^2*H
     (0, 2, 1),  # L^2*H
+    (2, 0, 1),  # P^2*H
     (0, 0, 3),  # H^3
 ]
 

@@ -123,6 +123,38 @@ def test_rpc_parse_rpb_text():
     assert abs(r1 - r2) < 1e-9 and abs(c1 - c2) < 1e-9
 
 
+def test_rpc_monomial_order_matches_spec():
+    """Pin the RPC00B term order against an independent spec transcription.
+
+    The standard cubic-polynomial term order (STDI-0002; GDAL RPCEvaluate;
+    what rpcm evaluates for the reference at mg_Sat_Img.py:108-118) written
+    out longhand.  The in-repo round-trip tests cannot catch an order bug —
+    fit and evaluate share the monomial table — so this oracle is coded
+    independently of geometry/rpc.py.
+    """
+    rng = np.random.default_rng(7)
+    P, L, H = rng.uniform(-1, 1, (3, 64))  # normalized lat, lon, alt
+
+    def spec_poly(c, P, L, H):
+        return (c[0]
+                + c[1] * L + c[2] * P + c[3] * H
+                + c[4] * L * P + c[5] * L * H + c[6] * P * H
+                + c[7] * L * L + c[8] * P * P + c[9] * H * H
+                + c[10] * P * L * H
+                + c[11] * L * L * L
+                + c[12] * L * P * P + c[13] * L * H * H
+                + c[14] * L * L * P
+                + c[15] * P * P * P
+                + c[16] * P * H * H
+                + c[17] * L * L * H + c[18] * P * P * H
+                + c[19] * H * H * H)
+
+    coefs = rng.normal(size=20)
+    M = rpc.monomials(P, L, H)
+    np.testing.assert_allclose(M @ coefs, spec_poly(coefs, P, L, H),
+                               rtol=0, atol=1e-12)
+
+
 # --- projective camera -----------------------------------------------------
 
 def test_projective_fit_accuracy_vs_rpc():

@@ -23,26 +23,10 @@ import numpy as np
 from season_nerf_tpu.config import Config, get_opts, lite_defaults
 
 
-def angles_to_vec_from_site(world_center, w2l_h):
-    """(el, az) -> cube-frame unit vector through the saved similarity
-    (main_run_Season_NeRF.py:71 uses W2C_W2L_H.npy exactly this way)."""
-    from season_nerf_tpu.geometry.units import world_angle_2_local_vec
-
-    def to_vec(el, az):
-        return world_angle_2_local_vec(el, az, world_center, w2l_h)
-    return to_vec
-
-
-def sun_frame_from_site(world_center, w2l_h) -> np.ndarray:
-    """[3,3] linear ENU->cube map (exact for the affine similarity): lets
-    the jitted solar-ray sampler draw random sun directions in the same
-    frame world_angle_2_local_vec produces."""
-    to_vec = angles_to_vec_from_site(world_center, w2l_h)
-    # images of the ENU basis vectors: az 90 = east, az 0 = north, el 90 = up
-    east = to_vec(0.0, 90.0)
-    north = to_vec(0.0, 0.0)
-    up = to_vec(90.0, 0.0)
-    return np.stack([east, north, up], axis=1)
+# thin geometry closures; canonical home is geometry/units (render surfaces
+# import them from there without pulling in the CLI layer)
+from season_nerf_tpu.geometry.units import (       # noqa: F401
+    angles_to_vec_from_site, sun_frame_from_site)
 
 
 def _prepare_synthetic(cfg: Config):

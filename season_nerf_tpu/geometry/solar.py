@@ -67,8 +67,7 @@ def solar_el_az(lat_deg, lon_deg, dt: datetime):
 
     frac_day = (dt.hour + dt.minute / 60 + (dt.second + dt.microsecond / 1e6) / 3600) / 24
     true_solar_min = (frac_day * 1440 + eot + 4 * np.asarray(lon_deg)) % 1440
-    hour_angle = true_solar_min / 4 - 180.0
-    hour_angle = np.where(true_solar_min / 4 < 0, true_solar_min / 4 + 180, hour_angle)
+    hour_angle = true_solar_min / 4 - 180.0  # NOAA ha = tst/4 - 180, tst in [0,1440)
 
     lat_r = np.deg2rad(np.asarray(lat_deg))
     ha_r = np.deg2rad(hour_angle)

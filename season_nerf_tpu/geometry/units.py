@@ -65,6 +65,28 @@ def world_angle_2_local_vec(world_el, world_az, world_center, world2local_h):
     return temp / np.sqrt(np.sum(temp ** 2))
 
 
+def angles_to_vec_from_site(world_center, w2l_h):
+    """(el, az) -> cube-frame unit vector closure over the saved similarity
+    (main_run_Season_NeRF.py:71 uses W2C_W2L_H.npy exactly this way).  Lives
+    here so render surfaces (serving, movie, export) don't have to import
+    the CLI layer for a geometry helper."""
+    def to_vec(el, az):
+        return world_angle_2_local_vec(el, az, world_center, w2l_h)
+    return to_vec
+
+
+def sun_frame_from_site(world_center, w2l_h) -> np.ndarray:
+    """[3,3] linear ENU->cube map (exact for the affine similarity): lets
+    the jitted solar-ray sampler draw random sun directions in the same
+    frame world_angle_2_local_vec produces."""
+    to_vec = angles_to_vec_from_site(world_center, w2l_h)
+    # images of the ENU basis vectors: az 90 = east, az 0 = north, el 90 = up
+    east = to_vec(0.0, 90.0)
+    north = to_vec(0.0, 0.0)
+    up = to_vec(90.0, 0.0)
+    return np.stack([east, north, up], axis=1)
+
+
 def local_vec_2_world_angle(vec, world_center, local2world_h):
     """Inverse of :func:`world_angle_2_local_vec` (needed by the eval walks).
 

@@ -29,7 +29,8 @@ def psnr(img, ref, mask=None, max_val=1.0):
 def ssim_global(img, ref, max_val=1.0, k1=0.01, k2=0.03):
     """Global-window SSIM over the whole image (mg_Img_metric.py:212-261's
     mg_ssim_v0): one mean/variance/covariance per image, no sliding window.
-    Accepts [..., H, W] or [..., H, W, C]; reduces over all but leading axes.
+    Reduces over ALL axes — pass one image ([H, W] or [H, W, C]) at a time;
+    for stacks use :func:`pairwise_ssim_global` or vmap this.
     """
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2

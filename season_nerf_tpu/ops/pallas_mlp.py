@@ -52,17 +52,12 @@ CAT_PAD = 576         # padded fc5 input (512 + 63 -> 576)
 TILE = 512            # rows per grid step
 
 
-def _fold_layer(layer_params, omega=30.0, has_norm=True, eps=1e-5):
-    """One SineLayer -> (W', b') with the BN affine folded in."""
+def _fold_layer(layer_params, omega=30.0):
+    """One SineLayer -> (omega*W, omega*b); the BN affine is folded by the
+    caller, which owns the running-stats lookup."""
     W = np.asarray(layer_params["linear"]["kernel"], np.float64)
     b = np.asarray(layer_params["linear"]["bias"], np.float64)
-    if has_norm and "norm" in layer_params:
-        g = np.asarray(layer_params["norm"]["scale"], np.float64)
-        beta = np.asarray(layer_params["norm"]["bias"], np.float64)
-    else:
-        g = np.ones(W.shape[1])
-        beta = np.zeros(W.shape[1])
-    return omega * W, omega * b, g, beta
+    return omega * W, omega * b
 
 
 def fold_trunk(variables, use_norm=True, dtype=jnp.float32) -> Dict:
@@ -71,7 +66,7 @@ def fold_trunk(variables, use_norm=True, dtype=jnp.float32) -> Dict:
     stats = variables.get("batch_stats", {}).get("gnerf", {})
 
     def folded(name, has_norm):
-        W, b, g, beta = _fold_layer(params[name], has_norm=has_norm)
+        W, b = _fold_layer(params[name])
         if has_norm and name in stats:
             mean = np.asarray(stats[name]["norm"]["mean"], np.float64)
             var = np.asarray(stats[name]["norm"]["var"], np.float64)

@@ -58,7 +58,7 @@ def load_model_dir(model_dir: str, n_samples: Optional[int] = None,
     if os.path.exists(w2c_path):
         wc, S, h_range = load_w2c_w2l(w2c_path)
         if wc is not None:
-            from season_nerf_tpu.cli import angles_to_vec_from_site
+            from season_nerf_tpu.geometry.units import angles_to_vec_from_site
             angles_to_vec = angles_to_vec_from_site(wc, S)
 
     mesh = None

@@ -109,20 +109,30 @@ def camera_grid_rays(cam, out_size):
 
 
 def render_chunk_outputs(model, variables, tops, bots, sun, t4, *,
-                         n_samples: int, classic_solar: bool):
+                         n_samples: int, classic_solar: bool,
+                         with_samples: bool = False):
     """The full-composite per-chunk render contract: per-ray rendered
     color, raw shadow visibility, expected surface height, accumulated
     opacity.  The single source of truth shared by ``Renderer._full_chunk``
     and ``tools/export_render.py`` — the exported StableHLO artifact
-    matches the live renderer by construction, not by a parallel copy."""
+    matches the live renderer by construction, not by a parallel copy.
+
+    ``with_samples`` additionally returns the per-sample hit weights and
+    sample points so an exact-shadow pass can cast secondary rays from the
+    SAME samples the composite used (eval_exact_solar, Eval_Tools_2.py:274)
+    without a second primary network pass."""
     out, _ = rendering.eval_rays(
         model, variables, None, tops, bots, sun, t4,
         n_samples=n_samples, train=False, classic_solar=classic_solar)
     shadow = jnp.sum(out["ps"] * out["vis"], axis=1)[:, 0]
     surf, _ = rendering.expected_surface(out["ps"], out["pts"],
                                          out["deltas"])
-    return {"rendered": out["rendered"], "shadow_raw": shadow,
-            "height": surf[:, 2], "ps_sum": jnp.sum(out["ps"], (1, 2))}
+    res = {"rendered": out["rendered"], "shadow_raw": shadow,
+           "height": surf[:, 2], "ps_sum": jnp.sum(out["ps"], (1, 2))}
+    if with_samples:
+        res["ps"] = out["ps"][:, :, 0]
+        res["pts"] = out["pts"]
+    return res
 
 
 class Renderer:
@@ -173,6 +183,13 @@ class Renderer:
         return render_chunk_outputs(self.model, variables, tops, bots, sun,
                                     t4, n_samples=self.n_samples,
                                     classic_solar=self.classic_solar)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _full_chunk_samples(self, variables, tops, bots, sun, t4):
+        return render_chunk_outputs(self.model, variables, tops, bots, sun,
+                                    t4, n_samples=self.n_samples,
+                                    classic_solar=self.classic_solar,
+                                    with_samples=True)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _component_chunk(self, variables, tops, bots, sun, t4):
@@ -227,6 +244,27 @@ class Renderer:
         tau, _ = jax.lax.scan(step, jnp.zeros((pts.shape[0], 1)),
                               jnp.arange(S - 1))
         return jnp.exp(-tau)[:, 0]
+
+    def _exact_solar_points(self, pts_flat, sun_vec):
+        """Exact solar transmittance at [N, 3] flat sample points, chunked.
+        Each dispatch casts S secondary samples for c points -> c*S network
+        evals per launch (one core's worth)."""
+        sv = jnp.asarray(sun_vec, jnp.float32)
+        dev, pads = [], []
+        c = max(self.chunk, 16)
+        for s in range(0, pts_flat.shape[0], c):
+            part = pts_flat[s:s + c]
+            pad = c - part.shape[0]
+            if pad:
+                part = np.concatenate(
+                    [part, np.repeat(part[-1:], pad, 0)], 0)
+            dev.append(self._exact_solar_chunk(
+                self.variables, self._put(part), sv))
+            pads.append(pad)
+            heartbeat.beat()
+        chunks = [v[:v.shape[0] - pad] if pad else v
+                  for v, pad in zip(jax.device_get(dev), pads)]
+        return np.concatenate(chunks, 0)
 
     # -- chunked drivers ---------------------------------------------------
     def _put(self, arr):
@@ -314,14 +352,19 @@ class Renderer:
                 outs[k].append(v[:v.shape[0] - pad] if pad else v)
         return {k: np.concatenate(v, 0) for k, v in outs.items()}
 
-    def render_rays(self, tops, bots, sun_vec, t4_row):
-        """Full composite render of arbitrary rays -> dict of flat arrays."""
+    def render_rays(self, tops, bots, sun_vec, t4_row, with_samples=False):
+        """Full composite render of arbitrary rays -> dict of flat arrays.
+        ``with_samples`` also returns per-sample ps/pts (for exact shadows)."""
         n = tops.shape[0]
         sun = np.broadcast_to(np.asarray(sun_vec, np.float32), (n, 3))
         t4 = np.broadcast_to(np.asarray(t4_row, np.float32), (n, 4))
-        res = self._run_chunks(self._full_chunk, tops.astype(np.float32),
-                               bots.astype(np.float32), sun, t4,
-                               ["rendered", "shadow_raw", "height", "ps_sum"])
+        keys = ["rendered", "shadow_raw", "height", "ps_sum"]
+        kernel = self._full_chunk
+        if with_samples:
+            keys += ["ps", "pts"]
+            kernel = self._full_chunk_samples
+        res = self._run_chunks(kernel, tops.astype(np.float32),
+                               bots.astype(np.float32), sun, t4, keys)
         if self.use_hsluv:
             from season_nerf_tpu.utils.hsluv import hsluv_normalized_to_rgb
             res["rendered"] = hsluv_normalized_to_rgb(
@@ -340,26 +383,28 @@ class Renderer:
         sun_vec = to_vec(*sun_el_az)
         tops, bots, img_pts = dir_grid_rays(view_vec, (out_size, out_size))
         res = self.render_rays(tops, bots, sun_vec,
-                               encode_time(time_frac))
+                               encode_time(time_frac),
+                               with_samples=exact_shadow)
         col = np.zeros((out_size, out_size, 3), np.float32)
         shadow = np.zeros((out_size, out_size), np.float32)
         height = np.full((out_size, out_size), np.nan, np.float32)
+        ps_sum = np.zeros((out_size, out_size), np.float32)
         mask = np.zeros((out_size, out_size), bool)
         col[img_pts[:, 0], img_pts[:, 1]] = res["rendered"]
         shadow[img_pts[:, 0], img_pts[:, 1]] = res["shadow_raw"]
         height[img_pts[:, 0], img_pts[:, 1]] = res["height"]
+        ps_sum[img_pts[:, 0], img_pts[:, 1]] = res["ps_sum"]
         mask[img_pts[:, 0], img_pts[:, 1]] = True
         out = {"Col_Img": col, "Shadow_Mask": shadow, "Height": height,
-               "Mask": mask}
+               "PS_Sum": ps_sum, "Mask": mask}
         if exact_shadow:
-            comp = self.component_render(tops, bots, sun_vec, time_frac,
-                                         exact_solar=True)
-            rho, deltas = comp["rho"], comp["deltas"]
-            tau = np.cumsum(rho * deltas, 1)
-            pv = np.exp(-np.concatenate(
-                [np.zeros_like(tau[:, :1]), tau[:, :-1]], 1))
-            ps = pv * (1 - np.exp(-rho * deltas))
-            eff = np.sum(ps * comp["exact_solar"], 1)[:, 0]
+            # secondary sun rays from the SAME sample points the composite
+            # used — one primary pass, like the reference's eval_exact_solar
+            # (Eval_Tools_2.py:273-295 reuses Results["sample_pts"])
+            exact = self._exact_solar_points(
+                res["pts"].reshape(-1, 3), sun_vec).reshape(
+                    -1, self.n_samples)
+            eff = np.sum(res["ps"] * exact, 1)
             ex = np.zeros((out_size, out_size), np.float32)
             ex[img_pts[:, 0], img_pts[:, 1]] = eff
             out["Exact_Shadow_Mask"] = ex
@@ -381,12 +426,16 @@ class Renderer:
         mask[img_pts[:, 0], img_pts[:, 1]] = True
         return {"Col_Img": col, "Mask": mask}
 
-    def get_dsm(self, out_size):
+    def get_dsm(self, out_size, min_ps_sum=1e-2):
         """Nadir expected-height map in [-1, 1] (Quick_Run.get_DSM:207-226).
-        NaN where no rays were evaluated."""
+        NaN where no rays were evaluated or nothing was hit: rays whose
+        accumulated hit probability stays under ``min_ps_sum`` carry no
+        surface evidence, and the serving /dsm contract ("NaN = no data")
+        relies on them being masked rather than reported as confident
+        mid-cube heights."""
         out = self.render_img((90.0, 0.0), (90.0, 0.0), 0.0, out_size)
         h = out["Height"].copy()
-        # low-density rays (nothing hit) are unreliable -> NaN like the ref
+        h[out["PS_Sum"] < min_ps_sum] = np.nan
         return h
 
     def component_render(self, tops, bots, sun_vec, year_frac,
@@ -403,27 +452,9 @@ class Renderer:
                                sun.astype(np.float32), t4.astype(np.float32),
                                keys)
         if exact_solar:
-            S = self.n_samples
-            pts_flat = res["pts"].reshape(-1, 3)
-            sv = jnp.asarray(sun_vec, jnp.float32)
-            dev, pads = [], []
-            # c flat sample points per dispatch; each casts S secondary
-            # samples -> c*S network evals per launch (one core's worth)
-            c = max(self.chunk, 16)
-            for s in range(0, pts_flat.shape[0], c):
-                part = pts_flat[s:s + c]
-                pad = c - part.shape[0]
-                if pad:
-                    part = np.concatenate(
-                        [part, np.repeat(part[-1:], pad, 0)], 0)
-                dev.append(self._exact_solar_chunk(
-                    self.variables, self._put(part), sv))
-                pads.append(pad)
-                heartbeat.beat()
-            chunks = [v[:v.shape[0] - pad] if pad else v
-                      for v, pad in zip(jax.device_get(dev), pads)]
-            res["exact_solar"] = np.concatenate(chunks, 0).reshape(
-                n, S, 1)
+            res["exact_solar"] = self._exact_solar_points(
+                res["pts"].reshape(-1, 3), sun_vec).reshape(
+                    n, self.n_samples, 1)
         # mark the color space so images_from_components converts composited
         # colors back to sRGB without every call site having to plumb a flag
         res["hsluv"] = self.use_hsluv

@@ -350,6 +350,14 @@ class Trainer:
         self._carry_scale = float(extra.get("carry_scale", 0.03))
         self._save_geometry = [(int(s), float(m))
                                for s, m in extra.get("save_geometry", [])]
+        if "rng" in extra:
+            self.rng = jnp.asarray(np.asarray(extra["rng"], dtype=np.uint32))
+        else:
+            # pre-rng checkpoint: derive a step-distinct key so the resumed
+            # run continues with fresh draws instead of replaying the stream
+            # from the start of training
+            self.rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.cfg.seed), self.step)
         phase = phase_lib.phase_at(self.phases, max(self.step - 1, 0))
         self._enter_phase(phase)     # builds matching state templates
         self.state, _ = state_lib.load_checkpoint(ckpt_path, self.state)
@@ -465,6 +473,10 @@ class Trainer:
                 "phase": self._phase.index if self._phase else 0,
                 "carry_alpha": self._carry_alpha,
                 "carry_scale": self._carry_scale,
+                # resume must continue the PRNG stream, not replay it:
+                # batches and solar rays after a watchdog restart would
+                # otherwise repeat the draws from the start of training
+                "rng": [int(x) for x in np.asarray(self.rng).ravel()],
                 # best_geometry selection must survive a watchdog restart:
                 # without this, finalize() would only see post-resume save
                 # points and could silently pick a worse checkpoint

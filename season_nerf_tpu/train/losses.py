@@ -123,13 +123,20 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
         n_rays = batch["top"].shape[0]
         tops_s, bots_s, sun_s, _t4s = make_solar_rays(
             k_solar_rays, n_rays, sun_frame)
+        # the reference's two train-mode forwards update BatchNorm running
+        # stats sequentially (camera pass, then solar pass, both in-place);
+        # compose the same way: the solar pass starts from the camera pass's
+        # updated stats, and the final update carries both
+        vars_solar = variables
+        if updates is not None and "batch_stats" in updates:
+            vars_solar = {**variables, "batch_stats": updates["batch_stats"]}
         sol, updates2 = rendering.eval_rho_only(
-            model, variables, k_solar_samp, tops_s, bots_s, sun_s, None,
+            model, vars_solar, k_solar_samp, tops_s, bots_s, sun_s, None,
             n_samples=s.n_samples, train=train,
             prior_hm=prior_hm if s.use_prior else None,
             model_trust=model_trust, mutable=mutable, remat=s.remat)
         if updates2 is not None:
-            updates = updates2  # same batch stats collection; keep latest
+            updates = updates2
         vis_s = sol["vis"][..., 0]
         pv_exact = sg(sol["pv_exact"][..., 0])
         solar_err = jnp.mean(jnp.sum((vis_s - pv_exact) ** 2, axis=1))
@@ -141,7 +148,10 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
 
         if not s.classic_solar:
             # albedo floor: per-channel min over the batch; quadratic
-            # penalty for channels below 0.2 (Eval_Tools_2.py:374-380)
+            # penalty for channels below 0.2 (Eval_Tools_2.py:374-380).
+            # The /= batch-size normalization (not /3) is the reference's own
+            # (`... / Network_Output["Albedo_Color"].shape[0]`, :378) and is
+            # kept deliberately, batch-size dependence and all.
             alb_min = jnp.min(out["albedo"], axis=0)                  # [3]
             viol = jnp.maximum(1.0 - alb_min / 0.2, 0.0)
             alb_floor = jnp.sum(viol ** 2) / out["albedo"].shape[0]

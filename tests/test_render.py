@@ -108,6 +108,15 @@ def test_get_dsm_range(small_renderer):
     assert (h[ok] >= -1.01).all() and (h[ok] <= 1.01).all()
 
 
+def test_get_dsm_low_density_is_nan(small_renderer):
+    """Rays with no accumulated hit probability are no-data (NaN), per the
+    serving /dsm contract — not confident mid-cube heights."""
+    all_nan = small_renderer.get_dsm(8, min_ps_sum=np.inf)
+    assert not np.isfinite(all_nan).any()
+    no_filter = small_renderer.get_dsm(8, min_ps_sum=0.0)
+    assert np.isfinite(no_filter).all()
+
+
 def test_perspective_rays_geometry():
     from season_nerf_tpu.render.renderer import perspective_rays
     # camera above the cube looking straight down (pitch -90)

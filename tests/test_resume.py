@@ -44,6 +44,11 @@ def test_resume_restores_full_state(setup, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(tr.state.opt_state),
                     jax.tree_util.tree_leaves(tr2.state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the PRNG stream continues where the first run left off — resumed
+    # batches must not replay the draws from the start of training
+    np.testing.assert_array_equal(np.asarray(tr2.rng), np.asarray(tr.rng))
+    fresh = Trainer(cfg, tt, vt, prior_hm=scene.prior_hm)
+    assert not np.array_equal(np.asarray(tr2.rng), np.asarray(fresh.rng))
     # training continues to completion
     tr2.run()
     assert tr2.step == 10

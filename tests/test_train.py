@@ -61,6 +61,62 @@ def test_make_solar_rays_geometry():
     assert np.allclose(t4[:, 0] ** 2 + t4[:, 1] ** 2, 1.0, atol=1e-5)
 
 
+def test_loss_batch_stats_compose_sequentially():
+    """With Use_Solar on, BatchNorm running stats must see BOTH forwards —
+    camera rays then solar rays, composed like the reference's two in-place
+    train-mode passes — not just the last one."""
+    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.ops import rendering
+    from season_nerf_tpu.train.losses import LossStatics, season_nerf_loss
+
+    model = TNeRF(layer_width=16, n_classes=2, n_layers=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    assert "batch_stats" in variables
+
+    rng = jax.random.PRNGKey(5)
+    n = 8
+    kb = jax.random.split(jax.random.PRNGKey(9), 5)
+    batch = {
+        "top": jax.random.uniform(kb[0], (n, 3), minval=-1, maxval=1)
+               .at[:, 2].set(1.0),
+        "bot": jax.random.uniform(kb[1], (n, 3), minval=-1, maxval=1)
+               .at[:, 2].set(-1.0),
+        "sun": jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3)),
+        "t4": jnp.ones((n, 4)),
+        "gt_rgb": jax.random.uniform(kb[2], (n, 3)),
+    }
+    statics = LossStatics(
+        n_samples=4, n_importance=0, use_prior=False, use_solar=True,
+        classic_solar=False, use_mse_loss=True, sc_lambda=0.03, phase_len=1)
+    _, (_, updates) = season_nerf_loss(
+        model, variables, {}, statics, batch, rng, step=0,
+        train=True, mutable=True)
+
+    # expected: replay the loss's own rng discipline by hand, sequentially
+    k_render, k_solar_rays, k_solar_samp = jax.random.split(rng, 3)
+    _, u1 = rendering.eval_rays(
+        model, variables, k_render, batch["top"], batch["bot"], batch["sun"],
+        batch["t4"], n_samples=4, train=True, mutable=True)
+    from season_nerf_tpu.train.losses import make_solar_rays
+    tops_s, bots_s, sun_s, _ = make_solar_rays(k_solar_rays, n, None)
+    v2 = {**variables, "batch_stats": u1["batch_stats"]}
+    _, u2 = rendering.eval_rho_only(
+        model, v2, k_solar_samp, tops_s, bots_s, sun_s, None,
+        n_samples=4, train=True, mutable=True)
+
+    got = jax.tree_util.tree_leaves(updates["batch_stats"])
+    want = jax.tree_util.tree_leaves(u2["batch_stats"])
+    only_last = jax.tree_util.tree_leaves(
+        rendering.eval_rho_only(model, variables, k_solar_samp, tops_s,
+                                bots_s, sun_s, None, n_samples=4, train=True,
+                                mutable=True)[1]["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(want, only_last)), "composition must matter"
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 # --- end-to-end tiny training ---------------------------------------------
 
 @pytest.fixture(scope="module")

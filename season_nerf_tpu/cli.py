@@ -64,11 +64,24 @@ def _prepare_real(cfg: Config):
     from season_nerf_tpu.priors.space_carving import space_carve_dsm, \
         model_grid_from_bounds
 
+    if cfg.testing_image_names and not os.path.exists(cfg.testing_image_names):
+        # a typo'd path must not silently fall back to another split —
+        # that trains on images the user meant to hold out
+        raise FileNotFoundError(
+            f"--testing_image_names {cfg.testing_image_names} not found")
     gt_dir = os.path.join(cfg.root_dir, "Track3-Truth")
     if not os.path.isdir(gt_dir):
         gt_dir = None
+    h_override = tuple(cfg.height_range) if cfg.height_range else None
+    if gt_dir is None and h_override is None:
+        raise FileNotFoundError(
+            f"{cfg.root_dir}/Track3-Truth not found: the site height range "
+            "is derived from the lidar DSM. Either provide the Track3-Truth "
+            "directory or pass an explicit --height_range MIN_M MAX_M "
+            "(training then runs without GT evaluation).")
     site = preprocess_site(cfg.root_dir, cfg.site_name, cfg.rpc_dir,
                            cfg.cache_dir, gt_dir=gt_dir,
+                           height_range=h_override,
                            skip_bundle_adjust=cfg.skip_Bundle_Adjust,
                            camera_model=cfg.camera_model)
     save_w2c_w2l(os.path.join(cfg.logs_dir, "W2C_W2L_H.npy"), site)
@@ -76,7 +89,7 @@ def _prepare_real(cfg: Config):
 
     testing_names = None
     t_file = os.path.join(cfg.cache_dir, "Testing_Imgs.txt")
-    if cfg.testing_image_names and os.path.exists(cfg.testing_image_names):
+    if cfg.testing_image_names:
         t_file = cfg.testing_image_names
     if os.path.exists(t_file):
         with open(t_file) as f:
@@ -163,13 +176,11 @@ def run_test(cfg: Config, eval_only: bool = False, train_steps=None,
                      if wc is not None else None)
 
     if eval_only:
-        from season_nerf_tpu.models.tnerf import model_from_config
-        model = model_from_config(cfg)
-        template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
-                              jnp.zeros((2, 3)), jnp.zeros((2, 4)),
-                              train=False)
-        variables, _ = state_lib.restore_variables(
-            template, os.path.join(cfg.logs_dir, "Final_Model.nn"))
+        # one shared model-dir loading sequence (render/loading) — the
+        # saved opts.json governs the architecture, as everywhere else
+        from season_nerf_tpu.render.loading import load_model_dir
+        loaded = load_model_dir(cfg.logs_dir)
+        model, variables = loaded.model, loaded.variables
         trainer = None
     else:
         trainer = Trainer(cfg, train_table, val_table, prior_hm=prior,

@@ -15,7 +15,7 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Optional, Tuple
 
 
 @dataclass
@@ -65,6 +65,11 @@ class Config:
     img_validation_downscale: int = 1
     camera_model: str = "Pinhole"
     DSM_Mode: str = "Space_Carve"
+    # explicit site height range in meters (min, max) for running a real
+    # site WITHOUT the Track3-Truth lidar directory (the reference cannot:
+    # it hard-requires <site>_DSM.tif for the height bounds,
+    # mg_pre_NeRF.py:41-47); None = derive from the lidar DSM +-5 m
+    height_range: Optional[Tuple[float, float]] = None
 
     # --- TPU-specific additions --------------------------------------------
     resume: bool = True               # auto-resume from latest Model_<k>.nn
@@ -304,6 +309,9 @@ def add_config_flags(parser: argparse.ArgumentParser, defaults: Config = None):
             group = parser.add_mutually_exclusive_group()
             group.add_argument(flag, dest=f.name, action="store_true", default=default)
             group.add_argument("--no-" + f.name, dest=f.name, action="store_false")
+        elif f.name == "height_range":
+            parser.add_argument(flag, type=float, nargs=2, default=None,
+                                metavar=("MIN_M", "MAX_M"))
         elif default is None:
             typ = int if "int" in str(f.type) else str
             parser.add_argument(flag, type=typ, default=None)

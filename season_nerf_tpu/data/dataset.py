@@ -45,6 +45,8 @@ class DeviceRayDataset:
 
     def epoch_batches(self, batch_size):
         """Host-side sequential iteration (for eval renders): yields numpy
-        row slices covering the table once, padded to full batches."""
+        row slices covering the table once; the final slice may be short
+        (callers feeding fixed-shape jitted kernels must pad-and-trim,
+        the pattern hm_eval/space_carving use)."""
         for start in range(0, self.n, batch_size):
             yield self.table.rows[start:start + batch_size]

@@ -7,7 +7,14 @@ RPCs (bundle-adjusted .ikono from cache when present — the reference cannot
 parse IMD sun/view/time metadata, derive the height range from the lidar
 DSM +-5 m, shrink-fit the common lat/lon bounds, fit the 3x4 projective
 camera per image with an accuracy self-check, and scale everything into the
-[-1, 1]^3 cube.  Results are cached as npz (instead of pickles).
+[-1, 1]^3 cube.
+
+Caching happens downstream of this module, where the expensive products
+live: the ray table (data/rays.build_ray_table, npz keyed by row-shaping
+settings) and the space-carving prior (SC_<site>_hm.npy).  The GeoTIFF
+pixels themselves are needed in memory every run regardless, so the fits
+here are recomputed (they are seconds, the reference pickles them mostly
+to carry Python objects across entry points).
 """
 
 from __future__ import annotations
@@ -47,25 +54,35 @@ def load_site_images(root_dir: str, site_name: str, rpc_dir: str,
             img = img / 255.0
         rpc = data_io.load_rpc_for_image(
             name, path, cache_dir, prefer_corrected=not skip_bundle_adjust)
-        imd_path = None
-        for cand_dir in ([imd_dir] if imd_dir else []) + [rpc_dir, root_dir]:
-            if cand_dir is None:
-                continue
-            # DFC naming: rpc_dir/<SITE-prefix>/<id>.IMD or <name>.IMD
-            sid = name.split("_")[1] if "_" in name else name
-            for cand in (os.path.join(cand_dir, name + ".IMD"),
-                         os.path.join(cand_dir, site_name[:3], sid + ".IMD"),
-                         os.path.join(cand_dir, sid + ".IMD")):
-                if os.path.exists(cand):
-                    imd_path = cand
-                    break
-            if imd_path:
-                break
+        imd_path = find_imd(name, [imd_dir, rpc_dir, root_dir])
         if imd_path is None:
             raise FileNotFoundError(f"no IMD metadata for {name}")
         meta = data_io.parse_imd(imd_path)
         entries.append((name, img, rpc, meta))
     return entries
+
+
+def find_imd(name: str, search_dirs) -> Optional[str]:
+    """Resolve the IMD metadata file for image ``name``.
+
+    DFC naming is ``<PFX>_<site#>_<img-id>_RGB``: the per-image id is the
+    THIRD token, and the reference resolves IMDs as
+    ``IMD_location/<PFX>/<id-minus-leading-char>.IMD``
+    (load_sat_imgs.py:21, ``file_name[2][1::]``).  Also accepts the flat
+    ``<name>.IMD`` / ``<id>.IMD`` layouts used by repackaged datasets.
+    """
+    parts = name.split("_")
+    sid = parts[2] if len(parts) >= 3 else name
+    for cand_dir in search_dirs:
+        if cand_dir is None:
+            continue
+        for cand in (os.path.join(cand_dir, name + ".IMD"),
+                     os.path.join(cand_dir, parts[0], sid[1:] + ".IMD"),
+                     os.path.join(cand_dir, parts[0], sid + ".IMD"),
+                     os.path.join(cand_dir, sid + ".IMD")):
+            if os.path.exists(cand):
+                return cand
+    return None
 
 
 def preprocess_site(root_dir: str, site_name: str, rpc_dir: str,
@@ -76,7 +93,6 @@ def preprocess_site(root_dir: str, site_name: str, rpc_dir: str,
                     cache: bool = True) -> SiteData:
     """The run_pre_NeRF pipeline.  Returns scaled cameras + bounds."""
     tag = "" if skip_bundle_adjust else "_Refined"
-    cache_file = os.path.join(cache_dir, f"site_{camera_model}{tag}.npz")
     entries = load_site_images(root_dir, site_name, rpc_dir, cache_dir,
                                skip_bundle_adjust=skip_bundle_adjust)
 

@@ -123,33 +123,80 @@ def emd_exact(sig1: np.ndarray, sig2: np.ndarray, metric: str = "l1") -> float:
     return float(res.fun)
 
 
-def emd_sinkhorn(w1, x1, w2, x2, metric="l1", reg=0.005, n_iters=500):
-    """Entropy-regularized OT in JAX (log-domain Sinkhorn) — fast batched
-    approximation used for the big pairwise stability matrices.  Converges
-    to the exact EMD as reg -> 0."""
-    import jax.numpy as jnp
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_sinkhorn_fn(metric: str, reg: float, n_iters: int):
+    """jit(vmap(log-domain Sinkhorn)) — one compile per padded signature
+    size; cached so repeat calls reuse the executable."""
     import jax
+    import jax.numpy as jnp
 
-    w1 = jnp.asarray(w1) / jnp.sum(w1)
-    w2 = jnp.asarray(w2) / jnp.sum(w2)
-    d = x1[:, None, :] - x2[None, :, :]
-    C = (jnp.abs(d).sum(-1) if metric == "l1"
-         else jnp.sqrt((d ** 2).sum(-1) + 1e-12))
-    logK = -C / reg
-    log_w1 = jnp.log(w1 + 1e-30)
-    log_w2 = jnp.log(w2 + 1e-30)
+    def one(w1, x1, w2, x2):
+        # zero-weight rows are padding: their log-mass is ~-69, so their
+        # potentials push no plan mass (P row/col ~ 1e-30) and the padded
+        # centroid values are irrelevant to the cost
+        w1 = w1 / jnp.sum(w1)
+        w2 = w2 / jnp.sum(w2)
+        d = x1[:, None, :] - x2[None, :, :]
+        C = (jnp.abs(d).sum(-1) if metric == "l1"
+             else jnp.sqrt((d ** 2).sum(-1) + 1e-12))
+        logK = -C / reg
+        log_w1 = jnp.log(w1 + 1e-30)
+        log_w2 = jnp.log(w2 + 1e-30)
 
-    def body(carry, _):
-        f, g = carry
-        f = log_w1 - jax.scipy.special.logsumexp(logK + g[None, :], axis=1)
-        g = log_w2 - jax.scipy.special.logsumexp(logK + f[:, None], axis=0)
-        return (f, g), None
+        def body(carry, _):
+            f, g = carry
+            f = log_w1 - jax.scipy.special.logsumexp(
+                logK + g[None, :], axis=1)
+            g = log_w2 - jax.scipy.special.logsumexp(
+                logK + f[:, None], axis=0)
+            return (f, g), None
 
-    (f, g), _ = jax.lax.scan(body, (jnp.zeros_like(log_w1),
-                                    jnp.zeros_like(log_w2)), None,
-                             length=n_iters)
-    P = jnp.exp(f[:, None] + logK + g[None, :])
-    return float(jnp.sum(P * C))
+        (f, g), _ = jax.lax.scan(body, (jnp.zeros_like(log_w1),
+                                        jnp.zeros_like(log_w2)), None,
+                                 length=n_iters)
+        P = jnp.exp(f[:, None] + logK + g[None, :])
+        return jnp.sum(P * C)
+
+    return jax.jit(jax.vmap(one))
+
+
+def pad_signatures(sigs):
+    """List of [K_i, 4] signatures -> (weights [N, K_max], centroids
+    [N, K_max, 3]) zero-padded for the batched Sinkhorn solver."""
+    k_max = max(s.shape[0] for s in sigs)
+    W = np.zeros((len(sigs), k_max))
+    X = np.zeros((len(sigs), k_max, 3))
+    for i, s in enumerate(sigs):
+        W[i, :s.shape[0]] = s[:, 3]
+        X[i, :s.shape[0]] = s[:, :3]
+    return W, X
+
+
+def emd_sinkhorn_batch(w1, x1, w2, x2, metric="l1", reg=0.005,
+                       n_iters=500) -> np.ndarray:
+    """[P] EM distances for P signature pairs in ONE device dispatch.
+
+    w1/w2: [P, K] weights (zero rows = padding, see :func:`pad_signatures`);
+    x1/x2: [P, K, 3] centroids.  This is the batching the pairwise
+    season-stability matrices need — per-pair eager dispatch with a host
+    sync each is orders of magnitude slower."""
+    import jax.numpy as jnp
+    fn = _batched_sinkhorn_fn(metric, float(reg), int(n_iters))
+    return np.asarray(fn(jnp.asarray(w1), jnp.asarray(x1),
+                         jnp.asarray(w2), jnp.asarray(x2)))
+
+
+def emd_sinkhorn(w1, x1, w2, x2, metric="l1", reg=0.005, n_iters=500):
+    """Entropy-regularized OT (log-domain Sinkhorn) for one signature pair.
+    Converges to the exact EMD as reg -> 0.  Pairs of different sizes
+    trigger a recompile — batch via :func:`emd_sinkhorn_batch` instead."""
+    return float(emd_sinkhorn_batch(
+        np.asarray(w1)[None], np.asarray(x1)[None],
+        np.asarray(w2)[None], np.asarray(x2)[None],
+        metric=metric, reg=reg, n_iters=n_iters)[0])
 
 
 def compare_em_imgs(img1, img2, bins_per_edge=8, metric="l1",

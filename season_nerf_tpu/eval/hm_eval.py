@@ -229,6 +229,10 @@ def eval_hm(model, variables, gt_hm: np.ndarray, h_range: Tuple[float, float],
     before = hm_scores(est_m, gt_m)
     aligned, change = greedy_align(est_m, gt_m)
     after = hm_scores(aligned, gt_m)
+    # key name and component order are the reference's own contract
+    # (Eval_funcs.py:431-449): element 0 is the ROW (axis-0) shift despite
+    # the "x" in the name — the reference accumulates shifts[...,0], which
+    # apply_shift_and_R applies along axis 0
     after["Shift_x_y_deg"] = change.tolist()
     imgs = {"GT": gt_m, "Est_HM_no_Shift": est_m,
             "Est_HM_after_Shift": aligned, "CI_width_m": ci * (h1 - h0)}

@@ -111,7 +111,7 @@ def _per_image_figure(name: str, entry: Dict, path: str):
     al = res["Seasonal_Aligned_Imgs"]
     panels = [
         ("GT", res["Ground_Truth"], None),
-        ("Base", res["Images"]["Season_Adj_Img"], "Base_Shadow_Img"),
+        ("Base", res["Images"]["Season_Adj_Img"], "Base_Img"),
         ("Aligned", al["Season_Adj_Img"], "Aligned_Img"),
         ("Aligned+Shadow", al["Season_Adj_Img"] * al["Shadow_Adjust"],
          "Aligned_Shadow_Img"),
@@ -326,28 +326,16 @@ def area_overviews(model_dirs: Sequence[str], out_path: str,
     """Montage of nadir renders, one per region's trained model
     (mg_merge_area_overviews.py:12-137 re-loads each model and renders an
     overview).  model_dirs must hold Final_Model.nn + opts.json."""
-    import jax
-    import jax.numpy as jnp
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from season_nerf_tpu.config import Config
-    from season_nerf_tpu.models.tnerf import model_from_config
-    from season_nerf_tpu.train.state import restore_variables
+    from season_nerf_tpu.render.loading import load_model_dir
 
     renders = []
     for d in model_dirs:
-        cfg = Config.load_json(os.path.join(d, "opts.json"))
-        model = model_from_config(cfg)
-        template = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
-                              jnp.zeros((2, 3)), jnp.zeros((2, 4)),
-                              train=False)
-        variables, _ = restore_variables(
-            template, os.path.join(d, "Final_Model.nn"))
-        r = Renderer(model, variables, n_samples=cfg.n_samples,
-                     chunk=cfg.chunk, classic_solar=cfg.Solar_Type_2,
-                     use_hsluv=cfg.use_HSLuv)
-        out = r.render_img((90.0, 0.0), (55.0, 180.0), 0.5, out_size)
+        loaded = load_model_dir(d)
+        out = loaded.renderer.render_img((90.0, 0.0), (55.0, 180.0), 0.5,
+                                         out_size)
         renders.append((os.path.basename(os.path.normpath(d)),
                         out["Col_Img"]))
     n = len(renders)

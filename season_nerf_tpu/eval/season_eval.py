@@ -18,7 +18,8 @@ from typing import Dict, Sequence
 import numpy as np
 
 from season_nerf_tpu.render.renderer import Renderer, images_from_components
-from season_nerf_tpu.eval.emd import color_signature, emd_exact, emd_sinkhorn
+from season_nerf_tpu.eval.emd import (color_signature, emd_exact,
+                                      emd_sinkhorn_batch, pad_signatures)
 from season_nerf_tpu.eval.walks import get_walking_points
 
 
@@ -66,22 +67,30 @@ def season_stability(walk: Dict, use_sinkhorn: bool = True) -> Dict:
     (:137-199 + Orgainize_Output_Seasons summary)."""
     imgs = walk["Imgs"]
     V, S, T = imgs.shape
-    per_time = []
-    for k in range(T):
-        flat = [imgs[i, j, k] for i in range(V) for j in range(S)]
-        sigs = [color_signature(np.nan_to_num(im)) for im in flat]
-        K = len(sigs)
-        d = np.full((K, K), np.nan)
-        for a in range(K):
-            for b in range(a + 1, K):
-                if use_sinkhorn:
-                    val = emd_sinkhorn(sigs[a][:, 3], sigs[a][:, :3],
-                                       sigs[b][:, 3], sigs[b][:, :3])
-                else:
-                    val = emd_exact(sigs[a], sigs[b])
-                d[a, b] = d[b, a] = val
-        per_time.append(d)
-    per_time = np.array(per_time)     # [T, K, K]
+    K = V * S
+    ia, ib = np.triu_indices(K, k=1)
+    all_sigs = [color_signature(np.nan_to_num(imgs[i, j, k]))
+                for k in range(T) for i in range(V) for j in range(S)]
+    per_time = np.full((T, K, K), np.nan)
+    if use_sinkhorn:
+        # every pair of every time slice in ONE padded vmap dispatch — the
+        # batching the module docstring promises (emd.emd_sinkhorn_batch)
+        W, X = pad_signatures(all_sigs)
+        W = W.reshape(T, K, -1)
+        X = X.reshape(T, K, -1, 3)
+        pa = np.concatenate([k * K + ia for k in range(T)])
+        pb = np.concatenate([k * K + ib for k in range(T)])
+        Wf, Xf = W.reshape(T * K, -1), X.reshape(T * K, -1, 3)
+        vals = emd_sinkhorn_batch(Wf[pa], Xf[pa], Wf[pb], Xf[pb])
+        vals = vals.reshape(T, -1)
+        for k in range(T):
+            per_time[k][ia, ib] = per_time[k][ib, ia] = vals[k]
+    else:
+        for k in range(T):
+            sigs = all_sigs[k * K:(k + 1) * K]
+            for a, b in zip(ia, ib):
+                per_time[k, a, b] = per_time[k, b, a] = emd_exact(
+                    sigs[a], sigs[b])
     vals = per_time[np.isfinite(per_time)]
     stats = {"mean": float(np.mean(vals)), "median": float(np.median(vals)),
              "p95": float(np.percentile(vals, 95)),

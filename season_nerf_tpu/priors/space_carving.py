@@ -164,6 +164,11 @@ def scores_to_heightmap(scores: np.ndarray, smooth_height: float = 1.0 / 3.0,
     sm = gc.truncated_linear_costs(scores.shape[2], height=smooth_height)
     labels, _ = gc.aexpansion_grid(data.astype(np.float32), sm,
                                    max_cycles=max_cycles)
+    # /nz (not /(nz-1)) is the reference's own normalization
+    # (mg_wrapper.py:37: energy_min_H_map(...)*2-1 with labels/H_map.shape[2],
+    # mg_3d_to_dist.py:40) — kept for parity even though the sweep's z grid
+    # is linspace(-1,1,nz): the top slice maps to 1-2/nz, a deliberate
+    # one-voxel conservative bias the trust-annealed prior absorbs
     return (labels.astype(np.float32) / scores.shape[2]) * 2.0 - 1.0
 
 

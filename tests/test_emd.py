@@ -52,3 +52,25 @@ def test_sinkhorn_approximates_exact():
     approx = emd.emd_sinkhorn(s1[:, 3], s1[:, :3], s2[:, 3], s2[:, :3],
                               reg=0.002, n_iters=2000)
     np.testing.assert_allclose(approx, exact, rtol=0.05)
+
+
+def test_sinkhorn_batch_matches_pairs_and_ignores_padding():
+    """One vmap dispatch over P padded pairs == per-pair results; zero-weight
+    padding rows must not move the distance."""
+    sigs = [emd.color_signature(_rand_img(seed, shift=0.05 * seed),
+                                bins_per_edge=4) for seed in range(4)]
+    W, X = emd.pad_signatures(sigs)
+    assert W.shape[0] == 4 and X.shape[2] == 3
+    ia, ib = np.triu_indices(4, k=1)
+    batch = emd.emd_sinkhorn_batch(W[ia], X[ia], W[ib], X[ib],
+                                   reg=0.002, n_iters=2000)
+    assert batch.shape == (len(ia),)
+    for p, (a, b) in enumerate(zip(ia, ib)):
+        exact = emd.emd_exact(sigs[a], sigs[b])
+        np.testing.assert_allclose(batch[p], exact, rtol=0.05, atol=5e-3)
+    # padding invariance: extra zero-weight rows leave the value unchanged
+    W2 = np.concatenate([W, np.zeros((4, 7))], 1)
+    X2 = np.concatenate([X, np.zeros((4, 7, 3))], 1)
+    batch2 = emd.emd_sinkhorn_batch(W2[ia], X2[ia], W2[ib], X2[ib],
+                                    reg=0.002, n_iters=2000)
+    np.testing.assert_allclose(batch2, batch, rtol=1e-4, atol=1e-6)

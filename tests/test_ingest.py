@@ -100,6 +100,28 @@ def test_parse_imd():
     assert meta["first_line_time"].startswith("2015-07-19T15:31")
 
 
+def test_find_imd_dfc_layout(tmp_path):
+    """The DFC layout the reference resolves (load_sat_imgs.py:21):
+    IMD_location/<PFX>/<id-minus-leading-char>.IMD for image
+    <PFX>_<site#>_<id>_RGB — the per-image id is the THIRD token, not the
+    (constant-per-site) site number."""
+    from season_nerf_tpu.data.ingest import find_imd
+    d = tmp_path / "OMA"
+    d.mkdir()
+    (d / "12.IMD").write_text("meanSunAz = 100;")
+    (d / "13.IMD").write_text("meanSunAz = 110;")
+    a = find_imd("OMA_281_012_RGB", [str(tmp_path)])
+    b = find_imd("OMA_281_013_RGB", [str(tmp_path)])
+    assert a and a.endswith(os.path.join("OMA", "12.IMD"))
+    assert b and b.endswith(os.path.join("OMA", "13.IMD"))
+    assert a != b                       # distinct images -> distinct IMDs
+    assert find_imd("OMA_281_014_RGB", [str(tmp_path)]) is None
+    # flat <name>.IMD still wins when present
+    (tmp_path / "OMA_281_012_RGB.IMD").write_text("meanSunAz = 1;")
+    flat = find_imd("OMA_281_012_RGB", [str(tmp_path)])
+    assert flat.endswith("OMA_281_012_RGB.IMD")
+
+
 def test_rpc_text_roundtrip():
     rpc = _toy_rpc()
     from season_nerf_tpu.geometry.rpc import parse_rpc_file

@@ -118,6 +118,42 @@ def test_space_carve_prior_real_branch(dfc_site):
     assert (hm >= -1).all() and (hm <= 1).all()
 
 
+def test_typod_testing_image_names_raises(dfc_site):
+    """A nonexistent --testing_image_names must fail loudly, not silently
+    fall back to another split (evaluation leakage)."""
+    io_root, site = dfc_site
+    cfg = Config(site_name=site, exp_name=f"{site}_typo", IO_Location=io_root,
+                 testing_image_names=os.path.join(io_root, "nope.txt"))
+    cfg.resolve_dirs()
+    with pytest.raises(FileNotFoundError, match="testing_image_names"):
+        cli._prepare_real(cfg)
+
+
+def test_missing_truth_needs_height_range(dfc_site, tmp_path):
+    """Without Track3-Truth the run must either get --height_range or fail
+    with a clear error; with the flag, preprocessing proceeds GT-less."""
+    io_root, site = dfc_site
+    import shutil
+    # clone the site layout minus the truth dir
+    root2 = tmp_path / "io2"
+    shutil.copytree(os.path.join(io_root, "IEEE_Data"),
+                    root2 / "IEEE_Data")
+    shutil.copytree(os.path.join(io_root, "Cache"), root2 / "Cache")
+    shutil.rmtree(root2 / "IEEE_Data" / "Track3-Truth")
+    cfg = Config(site_name=site, exp_name=f"{site}_nogt",
+                 IO_Location=str(root2), skip_Bundle_Adjust=True,
+                 img_training_downscale=16, img_validation_downscale=16,
+                 testing_size=1, jump_start=False)
+    cfg.resolve_dirs()
+    with pytest.raises(FileNotFoundError, match="height_range"):
+        cli._prepare_real(cfg)
+    cfg.height_range = (200.0, 260.0)
+    prep = cli._prepare_real(cfg)
+    cams, table = prep[0], prep[1]
+    assert len(cams) == 4 and len(table) > 0
+    assert prep[5] is None              # gt_dsm absent, run still prepared
+
+
 def test_split_files_written(dfc_site):
     io_root, site = dfc_site
     logs = os.path.join(io_root, "Logs", f"{site}_e2e")

@@ -241,8 +241,23 @@ def supervised_sigma(hm, world_pts, delta, eps=0.99):
     shape = jnp.array(hm.shape) - 1
     xy = ((world_pts[:, 0:2] + 1.0) / 2.0 * shape[None, :]).astype(jnp.int32)
     xy = jnp.clip(xy, 0, shape[None, :])
-    hm_vals = hm[xy[:, 0], xy[:, 1]]
+    # The textbook hm[xy[:,0], xy[:,1]] lowers to a random-access gather the
+    # TPU serializes (~2 GB/s; profiled at 7 ms/step — the largest single op
+    # in the train step).  Select through two one-hot contractions instead:
+    # the row pick rides the MXU and the column pick is a bandwidth-bound
+    # reduce, together ~0.5 ms at 393k points.  Multiplying by exact 0/1 in
+    # f32 keeps the selection bit-exact.  NaN cells (= no data, treated as
+    # empty space) would poison the matmul, so they are replaced by a
+    # sentinel below every z the cube can contain, which makes
+    # ``hm_vals >= z`` False — the same p_exist = 0 the NaN branch produced.
+    h, w = hm.shape
+    hm_f32 = hm.astype(jnp.float32)
+    hm_clean = jnp.where(jnp.isnan(hm_f32), -4.0, hm_f32)
+    oh_r = jax.nn.one_hot(xy[:, 0], h, dtype=jnp.float32)
+    oh_c = jax.nn.one_hot(xy[:, 1], w, dtype=jnp.float32)
+    rows = jax.lax.dot_general(oh_r, hm_clean, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+    hm_vals = jnp.sum(rows * oh_c, axis=1)
     p_exist = (hm_vals >= world_pts[:, 2]).astype(jnp.float32)
-    p_exist = jnp.where(jnp.isnan(hm_vals), 0.0, p_exist)
     p_exist = jnp.minimum(p_exist, eps)
     return -jnp.log(1.0 - p_exist[:, None]) / delta

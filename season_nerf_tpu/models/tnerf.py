@@ -158,16 +158,24 @@ class TNeRF(nn.Module):
             x_enc.shape[0], self.n_classes, 3)
 
     # -- forward modes ------------------------------------------------------
-    def __call__(self, x, sun_dir, t4, train=False):
+    def __call__(self, x, sun_dir, t4, train=False, probs=None):
         """Full forward (T_NeRF_net_v2.py:75-105).
 
         Returns dict with activated outputs:
           rho [N,1], col [N,3] (season-adjusted, sigmoided), vis [N,1],
           sky [N,3], class_probs [N,C], adjust [N,3] (class-mixed, raw).
+
+        ``probs``: optional precomputed class probabilities [N, C].  The time
+        branch is a pure function of t4, which is constant across a ray's
+        samples — callers that know the ray structure (ops/rendering.eval_rays)
+        evaluate ``class_probs`` once per RAY and broadcast, instead of paying
+        the two 512-wide time layers once per POINT (96x the rows for
+        bit-identical outputs; the branch has no BatchNorm, so there is no
+        batch-statistics coupling).
         """
         x_enc, rho_raw, col_raw = self.gnerf.position(x, train)
         vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train)
-        probs = self.class_probs(t4, train)
+        probs = self.class_probs(t4, train) if probs is None else probs
         adj = self.adjust_from_enc(x_enc, train)
         adjust_mixed = jnp.sum(adj * probs[:, :, None], axis=1)
         return {
@@ -179,12 +187,13 @@ class TNeRF(nn.Module):
             "adjust": adjust_mixed,
         }
 
-    def forward_separate(self, x, sun_dir, t4, train=False):
+    def forward_separate(self, x, sun_dir, t4, train=False, probs=None):
         """Forward without class mixing: raw color + per-class adjusts
-        (T_NeRF_net_v2.py:131-151) — used by the per-class eval renders."""
+        (T_NeRF_net_v2.py:131-151) — used by the per-class eval renders.
+        ``probs``: optional precomputed class probabilities (see __call__)."""
         x_enc, rho_raw, col_raw = self.gnerf.position(x, train)
         vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train)
-        probs = self.class_probs(t4, train)
+        probs = self.class_probs(t4, train) if probs is None else probs
         adj = self.adjust_from_enc(x_enc, train)
         return {
             "rho": jax.nn.softplus(rho_raw),

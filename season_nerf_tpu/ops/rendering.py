@@ -110,13 +110,21 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
         S = S + n_importance
     flat = pts.reshape(-1, 3)
     sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
-    t4_flat = jnp.broadcast_to(t4[:, None, :], (R, S, 4)).reshape(-1, 4)
 
-    def net(v, f, s_, t_):
+    # The seasonal-class branch is a pure function of the per-ray time
+    # encoding (no BatchNorm), so evaluate its two 512-wide layers once per
+    # ray and broadcast to the samples — bit-identical to the per-point
+    # evaluation at 1/S the rows (S=96 in the flagship config).
+    probs_ray = model.apply(variables, t4, train=train, method="class_probs")
+    probs_flat = jnp.broadcast_to(
+        probs_ray[:, None, :],
+        (R, S, probs_ray.shape[-1])).reshape(-1, probs_ray.shape[-1])
+
+    def net(v, f, s_, p_):
         if mutable:
-            return model.apply(v, f, s_, t_, train=train,
+            return model.apply(v, f, s_, None, probs=p_, train=train,
                                mutable=["batch_stats"])
-        return model.apply(v, f, s_, t_, train=train), None
+        return model.apply(v, f, s_, None, probs=p_, train=train), None
 
     if remat:
         # rematerialize the network block in the backward pass: its
@@ -124,7 +132,7 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
         # pass's, halving peak HBM and shrinking the fused backward kernel
         # past the register-allocator ceiling at large batches
         net = jax.checkpoint(net, policy=_remat_policy(remat))
-    out, updates = net(variables, flat, sun_flat, t4_flat)
+    out, updates = net(variables, flat, sun_flat, probs_flat)
 
     rho = out["rho"].reshape(R, S, 1)
     col = out["col"].reshape(R, S, -1)

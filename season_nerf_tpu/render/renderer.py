@@ -202,8 +202,15 @@ class Renderer:
         R = tops.shape[0]
         flat = pts.reshape(-1, 3)
         sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
-        t4_flat = jnp.broadcast_to(t4[:, None, :], (R, S, 4)).reshape(-1, 4)
-        out = self.model.apply(variables, flat, sun_flat, t4_flat,
+        # the time branch is constant per ray — evaluate once per ray and
+        # broadcast (bit-identical, 1/S the rows; see TNeRF.__call__)
+        probs_ray = self.model.apply(variables, t4, train=False,
+                                     method="class_probs")
+        probs_flat = jnp.broadcast_to(
+            probs_ray[:, None, :],
+            (R, S, probs_ray.shape[-1])).reshape(-1, probs_ray.shape[-1])
+        out = self.model.apply(variables, flat, sun_flat, None,
+                               probs=probs_flat,
                                train=False, method="forward_separate")
         C = self.model.n_classes
         return {

@@ -125,6 +125,73 @@ def test_supervised_sigma_nan_is_empty():
     assert sig[0, 0] == 0.0
 
 
+def test_supervised_sigma_matches_gather_oracle():
+    """The one-hot-contraction lookup (the TPU-fast path, docs/DESIGN.md
+    item 7) must stay bit-exact vs the textbook hm[ix, iy] gather it
+    replaced, including NaN (no-data) cells and non-square maps."""
+    rng = np.random.default_rng(3)
+    for h, w in [(64, 64), (37, 53)]:
+        hm = rng.uniform(-1, 1, (h, w)).astype(np.float32)
+        hm[rng.random((h, w)) < 0.15] = np.nan
+        pts = rng.uniform(-1.2, 1.2, (2000, 3)).astype(np.float32)
+        delta = rng.uniform(0.01, 0.1, (2000, 1)).astype(np.float32)
+
+        shape = np.array(hm.shape) - 1
+        xy = np.clip(((pts[:, :2] + 1) / 2 * shape).astype(np.int32), 0, shape)
+        hv = hm[xy[:, 0], xy[:, 1]]
+        p = np.where(np.isnan(hv), 0.0, (hv >= pts[:, 2]).astype(np.float32))
+        p = np.minimum(p, 0.99)
+        want = np.asarray(-jnp.log(1.0 - jnp.asarray(p))[:, None]) / delta
+
+        got = np.asarray(tnerf.supervised_sigma(
+            jnp.asarray(hm), jnp.asarray(pts), jnp.asarray(delta)))
+        assert np.array_equal(want, got)
+
+
+def test_eval_rays_per_ray_class_branch_bit_exact(small_tnerf):
+    """eval_rays evaluates the seasonal-class branch once per ray and
+    broadcasts (docs/DESIGN.md item 8); that must be bit-identical to the
+    model's per-point forward — outputs AND trunk batch-stats updates —
+    in both train and eval mode."""
+    model, variables = small_tnerf
+    R, S = 16, 8
+    k = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(k, 3)
+    xy = jax.random.uniform(k1, (R, 2), minval=-1, maxval=1)
+    tops = jnp.concatenate([xy, jnp.ones((R, 1))], 1)
+    bots = jnp.concatenate([xy + 0.05, -jnp.ones((R, 1))], 1)
+    sun = jnp.tile(jnp.asarray([[0.3, 0.2, 0.93]]), (R, 1))
+    sun = sun / jnp.linalg.norm(sun, axis=1, keepdims=True)
+    t4 = jax.random.uniform(k2, (R, 4), minval=-1, maxval=1)
+
+    for train in (False, True):
+        out, upd = rendering.eval_rays(
+            model, variables, k3, tops, bots, sun, t4,
+            n_samples=S, train=train, mutable=train)
+
+        # per-point oracle on the same sample points
+        k_coarse, _ = jax.random.split(k3)
+        pts, _ = sampling.sample_coarse(k_coarse, tops, bots, S, train=train)
+        flat = pts.reshape(-1, 3)
+        sun_f = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
+        t4_f = jnp.broadcast_to(t4[:, None, :], (R, S, 4)).reshape(-1, 4)
+        if train:
+            ref, upd_ref = model.apply(variables, flat, sun_f, t4_f,
+                                       train=True, mutable=["batch_stats"])
+        else:
+            ref, upd_ref = model.apply(variables, flat, sun_f, t4_f,
+                                       train=False), None
+
+        for key in ("rho", "col", "vis", "class_probs", "adjust"):
+            a = np.asarray(out[key]).reshape(ref[key].shape)
+            assert np.array_equal(a, np.asarray(ref[key])), (key, train)
+        if train:
+            same = jax.tree_util.tree_map(
+                lambda a, b: bool(jnp.all(a == b)),
+                upd["batch_stats"], upd_ref["batch_stats"])
+            assert all(jax.tree_util.tree_leaves(same))
+
+
 # --- sampling --------------------------------------------------------------
 
 def test_sample_coarse_eval_deterministic():

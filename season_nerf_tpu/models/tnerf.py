@@ -95,15 +95,30 @@ class GNeRF(nn.Module):
         f32 = lambda a: a.astype(jnp.float32)
         return x_enc, f32(self.fc10_sigma(x_enc)), f32(self.fc10_col(x_enc))
 
-    def solar(self, x_enc, sun_dir, train=False):
-        """-> (vis_raw, sky_raw)"""
-        sun_pe = positional_encode(sun_dir, self.pe_solar, self.extended)
+    def solar(self, x_enc, sun_dir, train=False, sun_pe=None, sky_raw=None):
+        """-> (vis_raw, sky_raw).
+
+        ``sun_pe`` / ``sky_raw``: optional precomputed per-point values.  The
+        sun direction is constant across a ray's samples and the sky branch
+        has no BatchNorm, so ray-aware callers encode the sun and evaluate
+        the sky MLP once per RAY and broadcast (bit-identical at 1/S the
+        rows); the default per-point path stays for API parity."""
+        if sun_pe is None:
+            sun_pe = positional_encode(sun_dir, self.pe_solar, self.extended)
         a = self.fc_solar_1(jnp.concatenate([x_enc, sun_pe], -1), train)
         a = self.fc_solar_2(a, train)
         a = self.fc_solar_3(a, train)
         vis_raw = self.fc_solar_4(a).astype(jnp.float32)
-        sky_raw = self.fc_sky_2(self.fc_sky_1(sun_pe, train)).astype(jnp.float32)
+        if sky_raw is None:
+            sky_raw = self.fc_sky_2(
+                self.fc_sky_1(sun_pe, train)).astype(jnp.float32)
         return vis_raw, sky_raw
+
+    def solar_ray_consts(self, sun_dir, train=False):
+        """Per-ray solar constants -> (sun_pe [R, pe], sky_raw [R, 3])."""
+        sun_pe = positional_encode(sun_dir, self.pe_solar, self.extended)
+        sky_raw = self.fc_sky_2(self.fc_sky_1(sun_pe, train)).astype(jnp.float32)
+        return sun_pe, sky_raw
 
 
 class TNeRF(nn.Module):
@@ -158,7 +173,18 @@ class TNeRF(nn.Module):
             x_enc.shape[0], self.n_classes, 3)
 
     # -- forward modes ------------------------------------------------------
-    def __call__(self, x, sun_dir, t4, train=False, probs=None):
+    def ray_consts(self, sun_dir, t4, train=False):
+        """All ray-constant branch outputs from per-ray inputs:
+        -> (class_probs [R, C], sun_pe [R, pe], sky_raw [R, 3]).
+        Ray-aware callers (ops/rendering.eval_rays) evaluate these once per
+        ray and broadcast to the samples — bit-identical to the per-point
+        forward at 1/S the rows (none of these branches has BatchNorm)."""
+        probs = self.class_probs(t4, train) if t4 is not None else None
+        sun_pe, sky_raw = self.gnerf.solar_ray_consts(sun_dir, train)
+        return probs, sun_pe, sky_raw
+
+    def __call__(self, x, sun_dir, t4, train=False, probs=None,
+                 sun_pe=None, sky_raw=None):
         """Full forward (T_NeRF_net_v2.py:75-105).
 
         Returns dict with activated outputs:
@@ -174,7 +200,8 @@ class TNeRF(nn.Module):
         batch-statistics coupling).
         """
         x_enc, rho_raw, col_raw = self.gnerf.position(x, train)
-        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train)
+        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train,
+                                            sun_pe=sun_pe, sky_raw=sky_raw)
         probs = self.class_probs(t4, train) if probs is None else probs
         adj = self.adjust_from_enc(x_enc, train)
         adjust_mixed = jnp.sum(adj * probs[:, :, None], axis=1)
@@ -187,12 +214,15 @@ class TNeRF(nn.Module):
             "adjust": adjust_mixed,
         }
 
-    def forward_separate(self, x, sun_dir, t4, train=False, probs=None):
+    def forward_separate(self, x, sun_dir, t4, train=False, probs=None,
+                         sun_pe=None, sky_raw=None):
         """Forward without class mixing: raw color + per-class adjusts
         (T_NeRF_net_v2.py:131-151) — used by the per-class eval renders.
-        ``probs``: optional precomputed class probabilities (see __call__)."""
+        ``probs``/``sun_pe``/``sky_raw``: optional precomputed ray-constant
+        values (see __call__ / ray_consts)."""
         x_enc, rho_raw, col_raw = self.gnerf.position(x, train)
-        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train)
+        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train,
+                                            sun_pe=sun_pe, sky_raw=sky_raw)
         probs = self.class_probs(t4, train) if probs is None else probs
         adj = self.adjust_from_enc(x_enc, train)
         return {
@@ -204,14 +234,16 @@ class TNeRF(nn.Module):
             "adjust_per_class": adj,
         }
 
-    def forward_solar(self, x, sun_dir, train=False):
+    def forward_solar(self, x, sun_dir, train=False, sun_pe=None,
+                      sky_raw=None):
         """Solar-branch training mode: gradients are blocked from flowing
         into the position trunk (the reference wraps the trunk in t.no_grad,
         G_NeRF.py:135-145)."""
         x_enc, rho_raw, _ = self.gnerf.position(x, train)
         x_enc = jax.lax.stop_gradient(x_enc)
         rho_raw = jax.lax.stop_gradient(rho_raw)
-        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train)
+        vis_raw, sky_raw = self.gnerf.solar(x_enc, sun_dir, train,
+                                            sun_pe=sun_pe, sky_raw=sky_raw)
         return {
             "rho": jax.nn.softplus(rho_raw),
             "vis": jax.nn.sigmoid(vis_raw),

@@ -109,22 +109,22 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
                                   n_importance)
         S = S + n_importance
     flat = pts.reshape(-1, 3)
-    sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
 
-    # The seasonal-class branch is a pure function of the per-ray time
-    # encoding (no BatchNorm), so evaluate its two 512-wide layers once per
-    # ray and broadcast to the samples — bit-identical to the per-point
-    # evaluation at 1/S the rows (S=96 in the flagship config).
-    probs_ray = model.apply(variables, t4, train=train, method="class_probs")
-    probs_flat = jnp.broadcast_to(
-        probs_ray[:, None, :],
-        (R, S, probs_ray.shape[-1])).reshape(-1, probs_ray.shape[-1])
+    # The seasonal-class branch, the sun encoding, and the sky MLP are pure
+    # functions of per-ray inputs (none has BatchNorm), so evaluate them
+    # once per ray and broadcast to the samples — bit-identical to the
+    # per-point evaluation at 1/S the rows (S=96 in the flagship config).
+    probs_r, sun_pe_r, sky_raw_r = model.apply(
+        variables, sun, t4, train=train, method="ray_consts")
+    bcast = lambda a: jnp.broadcast_to(
+        a[:, None, :], (R, S, a.shape[-1])).reshape(-1, a.shape[-1])
+    probs_f, sun_pe_f, sky_raw_f = bcast(probs_r), bcast(sun_pe_r), bcast(sky_raw_r)
 
-    def net(v, f, s_, p_):
+    def net(v, f, p_, spe_, skr_):
+        kw = dict(probs=p_, sun_pe=spe_, sky_raw=skr_, train=train)
         if mutable:
-            return model.apply(v, f, s_, None, probs=p_, train=train,
-                               mutable=["batch_stats"])
-        return model.apply(v, f, s_, None, probs=p_, train=train), None
+            return model.apply(v, f, None, None, mutable=["batch_stats"], **kw)
+        return model.apply(v, f, None, None, **kw), None
 
     if remat:
         # rematerialize the network block in the backward pass: its
@@ -132,7 +132,7 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
         # pass's, halving peak HBM and shrinking the fused backward kernel
         # past the register-allocator ceiling at large batches
         net = jax.checkpoint(net, policy=_remat_policy(remat))
-    out, updates = net(variables, flat, sun_flat, probs_flat)
+    out, updates = net(variables, flat, probs_f, sun_pe_f, sky_raw_f)
 
     rho = out["rho"].reshape(R, S, 1)
     col = out["col"].reshape(R, S, -1)
@@ -192,18 +192,24 @@ def eval_rho_only(model, variables, rng, tops, bots, sun, t4, *,
     R, S = tops.shape[0], n_samples
     pts, deltas = sample_coarse(rng, tops, bots, S, train=train, include_end=True)
     flat = pts.reshape(-1, 3)
-    sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
 
-    def net(v, f, s_):
+    # per-ray solar constants, broadcast to the samples (see eval_rays)
+    _, sun_pe_r, sky_raw_r = model.apply(
+        variables, sun, None, train=train, method="ray_consts")
+    bcast = lambda a: jnp.broadcast_to(
+        a[:, None, :], (R, S, a.shape[-1])).reshape(-1, a.shape[-1])
+    sun_pe_f, sky_raw_f = bcast(sun_pe_r), bcast(sky_raw_r)
+
+    def net(v, f, spe_, skr_):
+        kw = dict(sun_pe=spe_, sky_raw=skr_, train=train,
+                  method="forward_solar")
         if mutable:
-            return model.apply(v, f, s_, train=train, method="forward_solar",
-                               mutable=["batch_stats"])
-        return model.apply(v, f, s_, train=train,
-                           method="forward_solar"), None
+            return model.apply(v, f, None, mutable=["batch_stats"], **kw)
+        return model.apply(v, f, None, **kw), None
 
     if remat:
         net = jax.checkpoint(net, policy=_remat_policy(remat))
-    out, updates = net(variables, flat, sun_flat)
+    out, updates = net(variables, flat, sun_pe_f, sky_raw_f)
 
     rho = out["rho"].reshape(R, S, 1)
     vis = out["vis"].reshape(R, S, 1)

@@ -201,16 +201,15 @@ class Renderer:
         deltas = jnp.where(out_of_cube(pts)[..., None], 0.0, deltas)
         R = tops.shape[0]
         flat = pts.reshape(-1, 3)
-        sun_flat = jnp.broadcast_to(sun[:, None, :], (R, S, 3)).reshape(-1, 3)
-        # the time branch is constant per ray — evaluate once per ray and
-        # broadcast (bit-identical, 1/S the rows; see TNeRF.__call__)
-        probs_ray = self.model.apply(variables, t4, train=False,
-                                     method="class_probs")
-        probs_flat = jnp.broadcast_to(
-            probs_ray[:, None, :],
-            (R, S, probs_ray.shape[-1])).reshape(-1, probs_ray.shape[-1])
-        out = self.model.apply(variables, flat, sun_flat, None,
-                               probs=probs_flat,
+        # the time/sun/sky branches are constant per ray — evaluate once per
+        # ray and broadcast (bit-identical, 1/S the rows; TNeRF.ray_consts)
+        probs_r, sun_pe_r, sky_raw_r = self.model.apply(
+            variables, sun, t4, train=False, method="ray_consts")
+        bcast = lambda a: jnp.broadcast_to(
+            a[:, None, :], (R, S, a.shape[-1])).reshape(-1, a.shape[-1])
+        out = self.model.apply(variables, flat, None, None,
+                               probs=bcast(probs_r), sun_pe=bcast(sun_pe_r),
+                               sky_raw=bcast(sky_raw_r),
                                train=False, method="forward_separate")
         C = self.model.n_classes
         return {

@@ -58,7 +58,14 @@ class Config:
     ds_lambda: float = 0.03
     p_lambda: float = 0.03
     number_low_frequency_cases: int = 4   # seasonal classes
-    chunk: int = 10_240
+    chunk: int = 5_120        # render rays per XLA dispatch.  The reference
+    #                           defaults to 10240 (opt2.py:110; output is
+    #                           chunk-invariant) but on the v5e chip XLA
+    #                           compiles a faster program at 5120 — measured
+    #                           189k vs 172k render-rays/s — and the larger
+    #                           chunk intermittently trips the remote
+    #                           compiler (docs/DESIGN.md "Compiler limits").
+    #                           --chunk restores any value.
     n_saves: int = 20
     testing_size: int = 3
     img_training_downscale: int = 1

@@ -138,15 +138,16 @@ def render_chunk_outputs(model, variables, tops, bots, sun, t4, *,
 class Renderer:
     """Whole-image renderer over a trained T-NeRF."""
 
-    def __init__(self, model: TNeRF, variables, n_samples=96, chunk=10_240,
+    def __init__(self, model: TNeRF, variables, n_samples=96, chunk=5_120,
                  classic_solar=False, sun_frame: Optional[np.ndarray] = None,
                  use_hsluv: bool = False, mesh=None):
         self.model = model
         self.variables = variables
         self.n_samples = n_samples
         # chunk is rays per dispatch (the reference's max_input_size /
-        # --chunk semantics, opt2.py:110): 10240 rays x 96 samples ~ 1M
-        # points per XLA launch — right-sized for one TPU core
+        # --chunk semantics, opt2.py:110; output is chunk-invariant).
+        # 5120 x 96 samples ~ 0.5M points per XLA launch measured fastest
+        # on v5e (Config.chunk note); any value can be forced via --chunk
         self.chunk = max(chunk, 16)
         self.classic_solar = classic_solar
         self.sun_frame = sun_frame

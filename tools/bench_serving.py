@@ -4,9 +4,10 @@
 Measures the inference path the regional eval and render CLIs use
 (Renderer._full_chunk: stratified sampling + full T-NeRF + transmittance
 composite fused in one XLA program per chunk), at the reference's quality
-settings (96 samples/ray, chunk 10240, opt2.py:68,110).
+settings (96 samples/ray, 512x512 frames; chunk 5120 — the
+measured-fastest v5e dispatch size, see Config.chunk).
 
-  python tools/bench_serving.py [--size 512] [--chunk 10240] [--fc 512]
+  python tools/bench_serving.py [--size 512] [--chunk 5120] [--fc 512]
 
 Prints one JSON line {"metric": "render_rays_per_sec", ...}.
 """
@@ -23,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--chunk", type=int, default=10_240)
+    p.add_argument("--chunk", type=int, default=5_120)
     p.add_argument("--fc", type=int, default=512)
     p.add_argument("--n_samples", type=int, default=96)
     p.add_argument("--repeats", type=int, default=3)

@@ -148,6 +148,40 @@ def test_supervised_sigma_matches_gather_oracle():
         assert np.array_equal(want, got)
 
 
+def test_eval_rays_remat_policies_match_no_remat(small_tnerf):
+    """remat='full'/'dots' (the large-batch compiler workaround,
+    docs/DESIGN.md 'Compiler limits') must change memory, not math:
+    same loss and same gradients as the un-rematerialized step."""
+    model, variables = small_tnerf
+    R, S = 8, 8
+    k = jax.random.PRNGKey(11)
+    xy = jax.random.uniform(k, (R, 2), minval=-1, maxval=1)
+    tops = jnp.concatenate([xy, jnp.ones((R, 1))], 1)
+    bots = jnp.concatenate([xy, -jnp.ones((R, 1))], 1)
+    sun = jnp.tile(jnp.asarray([[0.3, 0.2, 0.93]]), (R, 1))
+    t4 = jnp.tile(jnp.asarray([[1.0, 0.0, 1.0, 0.0]]), (R, 1))
+    hm = jnp.zeros((8, 8))
+
+    def loss(params, remat):
+        v = {**variables, "params": params}
+        out, _ = rendering.eval_rays(
+            model, v, k, tops, bots, sun, t4, n_samples=S, train=True,
+            mutable=True, remat=remat, prior_hm=hm, model_trust=0.5)
+        sol, _ = rendering.eval_rho_only(
+            model, v, k, tops, bots, sun, None, n_samples=S, train=True,
+            mutable=True, remat=remat, prior_hm=hm, model_trust=0.5)
+        return jnp.sum(out["rendered"] ** 2) + jnp.sum(sol["vis"] ** 2)
+
+    base_l, base_g = jax.value_and_grad(loss)(variables["params"], False)
+    for remat in ("full", "dots"):
+        l, g = jax.value_and_grad(loss)(variables["params"], remat)
+        assert np.allclose(float(l), float(base_l), rtol=1e-6)
+        ok = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.allclose(a, b, rtol=1e-5, atol=1e-7)),
+            g, base_g)
+        assert all(jax.tree_util.tree_leaves(ok)), remat
+
+
 def test_eval_rays_per_ray_class_branch_bit_exact(small_tnerf):
     """eval_rays evaluates the seasonal-class branch once per ray and
     broadcasts (docs/DESIGN.md item 8); that must be bit-identical to the

@@ -29,13 +29,17 @@ class LoadedModel:
 
 def load_model_dir(model_dir: str, n_samples: Optional[int] = None,
                    chunk: Optional[int] = None,
-                   use_mesh: bool = False) -> LoadedModel:
+                   use_mesh: bool = False,
+                   fast_render: Optional[Tuple[int, int]] = None
+                   ) -> LoadedModel:
     """Load ``model_dir`` (opts.json + Final_Model.nn [+ W2C_W2L_H.npy]).
 
     ``n_samples``/``chunk`` override the run's recorded values.
     ``use_mesh=True`` shards render chunks over all visible devices (the
     training mesh's serving-side twin) — the right default for long-lived
     services and one-shot CLI renders alike.
+    ``fast_render=(n_coarse, n_fine)`` enables depth-guided fast rendering
+    on the full-composite path (renderer.render_chunk_outputs_fast).
     """
     import jax
     import jax.numpy as jnp
@@ -69,7 +73,8 @@ def load_model_dir(model_dir: str, n_samples: Optional[int] = None,
                         n_samples=n_samples or cfg.n_samples,
                         chunk=chunk or cfg.chunk,
                         classic_solar=cfg.Solar_Type_2,
-                        use_hsluv=cfg.use_HSLuv, mesh=mesh)
+                        use_hsluv=cfg.use_HSLuv, mesh=mesh,
+                        fast_render=fast_render)
     return LoadedModel(cfg=cfg, model=model, variables=variables,
                        renderer=renderer, angles_to_vec=angles_to_vec,
                        h_range=h_range)

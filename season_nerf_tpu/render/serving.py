@@ -72,13 +72,14 @@ class RenderService:
     LAYERS = ("season", "base", "shadow")
 
     def __init__(self, model_dir: str, n_samples: Optional[int] = None,
-                 wedge_timeout: Optional[float] = 600.0):
+                 wedge_timeout: Optional[float] = 600.0,
+                 fast_render=None):
         from season_nerf_tpu.render.loading import load_model_dir
         self.model_dir = os.path.abspath(model_dir)
         # use_mesh: a long-lived service on a multi-chip host shards every
         # render chunk over the data mesh, same as the one-shot CLI path
         loaded = load_model_dir(model_dir, n_samples=n_samples,
-                                use_mesh=True)
+                                use_mesh=True, fast_render=fast_render)
         self.cfg, self.renderer = loaded.cfg, loaded.renderer
         self.angles_to_vec, self.h_range = (loaded.angles_to_vec,
                                             loaded.h_range)
@@ -106,6 +107,8 @@ class RenderService:
                 "site_name": self.cfg.site_name,
                 "exp_name": self.cfg.exp_name,
                 "n_samples": self.renderer.n_samples,
+                "fast_render": list(self.renderer.fast_render)
+                               if self.renderer.fast_render else None,
                 "fc_units": self.cfg.fc_units,
                 "classic_solar": bool(self.cfg.Solar_Type_2),
                 "use_HSLuv": bool(self.cfg.use_HSLuv),
@@ -278,9 +281,14 @@ def main(argv=None):
                    help="healthz reports 503/wedged once a single render "
                         "has held the device this many seconds "
                         "(0 disables)")
+    p.add_argument("--fast_render", type=int, nargs=2, default=None,
+                   metavar=("N_COARSE", "N_FINE"),
+                   help="depth-guided fast rendering for every served "
+                        "frame (qualify with tools/fast_render_ab.py)")
     args = p.parse_args(argv)
     service = RenderService(args.Model_Location, n_samples=args.n_samples,
-                            wedge_timeout=args.wedge_timeout or None)
+                            wedge_timeout=args.wedge_timeout or None,
+                            fast_render=args.fast_render)
     if args.warmup:
         service.render_view((70, 0), (45, 180), 0.5, size=32)
     server = make_server(service, args.host, args.port)

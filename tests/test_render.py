@@ -230,3 +230,154 @@ def test_run_chunks_transient_remote_flake_keeps_chunk():
     assert out["rendered"].shape == (n, 3)
     assert r2.chunk == 512
     assert attempts[:3] == [1024, 1024, 512]
+
+
+# ---------------------------------------------------------------------------
+# depth-guided fast rendering (render_chunk_outputs_fast)
+# ---------------------------------------------------------------------------
+
+class _PeakSceneModel:
+    """Deterministic stand-in for TNeRF with an analytically localized
+    surface: a sharp density peak at z = z0(x, y), position-dependent
+    color.  Exercises the fast path's actual guarantee — when a ray's
+    density is concentrated, the windowed composite matches the uniform
+    one — without training a network."""
+
+    n_classes = 4
+
+    def __init__(self, z0=0.15, width=0.04, amp=80.0):
+        self.z0, self.width, self.amp = z0, width, amp
+
+    def _surface_z(self, x):
+        return self.z0 + 0.1 * jnp.sin(2.0 * x[:, 0]) * jnp.cos(x[:, 1])
+
+    def _sigma(self, x):
+        dz = x[:, 2:3] - self._surface_z(x)[:, None]
+        return self.amp * jnp.exp(-((dz / self.width) ** 2))
+
+    def apply(self, variables, *args, method=None, train=False, **kw):
+        if method == "sigma_only":
+            return self._sigma(args[0])
+        if method == "forward_separate":
+            return self._forward_separate(args[0])
+        if method == "ray_consts":
+            sun, t4 = args[0], args[1]
+            R = sun.shape[0]
+            return (jnp.full((R, self.n_classes), 1.0 / self.n_classes),
+                    jnp.zeros((R, 2)), jnp.zeros((R, 3)))
+        x = args[0]
+        n = x.shape[0]
+        col = jax.nn.sigmoid(jnp.stack(
+            [x[:, 0], x[:, 1], x[:, 2]], axis=1) * 2.0)
+        return {
+            "rho": self._sigma(x),
+            "col": col,
+            "vis": jnp.full((n, 1), 0.9),
+            "sky": jnp.full((n, 3), 0.3),
+            "class_probs": jnp.full((n, self.n_classes),
+                                    1.0 / self.n_classes),
+            "adjust": jnp.zeros((n, 3)),
+        }
+
+    def init(self, *a, **k):
+        return {}
+
+    def _forward_separate(self, x):
+        n = x.shape[0]
+        col_raw = jnp.stack([x[:, 0], x[:, 1], x[:, 2]], axis=1) * 2.0
+        return {
+            "rho": self._sigma(x),
+            "col_raw": col_raw,
+            "vis": jnp.full((n, 1), 0.9),
+            "sky": jnp.full((n, 3), 0.3),
+            "class_probs": jnp.full((n, self.n_classes),
+                                    1.0 / self.n_classes),
+            "adjust_per_class": jnp.zeros((n, self.n_classes, 3)),
+        }
+
+
+@pytest.mark.parametrize("classic_solar", [False, True])
+def test_fast_render_matches_exact_on_localized_surface(classic_solar):
+    from season_nerf_tpu.render.renderer import (render_chunk_outputs,
+                                                 render_chunk_outputs_fast)
+    model = _PeakSceneModel()
+    v = np.array([0.25, 0.1, 0.95])
+    v /= np.linalg.norm(v)
+    tops, bots, _ = dir_grid_rays(v, (12, 12))
+    n = tops.shape[0]
+    sun = jnp.broadcast_to(jnp.array([0.2, 0.2, 0.95]), (n, 3))
+    t4 = jnp.broadcast_to(jnp.asarray(encode_time(0.3)), (n, 4))
+    # a dense uniform reference: both paths approximate the same integral
+    exact = render_chunk_outputs(model, {}, jnp.asarray(tops),
+                                 jnp.asarray(bots), sun, t4, n_samples=96,
+                                 classic_solar=classic_solar)
+    fast = render_chunk_outputs_fast(model, {}, jnp.asarray(tops),
+                                     jnp.asarray(bots), sun, t4,
+                                     n_coarse=32, n_fine=32,
+                                     classic_solar=classic_solar)
+    np.testing.assert_allclose(np.asarray(fast["rendered"]),
+                               np.asarray(exact["rendered"]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(fast["height"]),
+                               np.asarray(exact["height"]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(fast["shadow_raw"]),
+                               np.asarray(exact["shadow_raw"]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(fast["ps_sum"]),
+                               np.asarray(exact["ps_sum"]), atol=0.02)
+
+
+def test_fast_render_empty_rays_well_formed():
+    from season_nerf_tpu.render.renderer import render_chunk_outputs_fast
+    model = _PeakSceneModel(amp=0.0)      # no density anywhere
+    v = np.array([0.0, 0.0, 1.0])
+    tops, bots, _ = dir_grid_rays(v, (4, 4))
+    n = tops.shape[0]
+    sun = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
+    t4 = jnp.broadcast_to(jnp.asarray(encode_time(0.0)), (n, 4))
+    out = render_chunk_outputs_fast(model, {}, jnp.asarray(tops),
+                                    jnp.asarray(bots), sun, t4,
+                                    n_coarse=16, n_fine=8,
+                                    classic_solar=False)
+    for k in ("rendered", "height", "shadow_raw", "ps_sum"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    np.testing.assert_allclose(np.asarray(out["ps_sum"]), 0.0, atol=1e-5)
+
+
+def test_fast_renderer_end_to_end_and_chunk_invariance():
+    """Renderer(fast_render=...) drives the fast kernel through the chunked
+    dispatch: output identical across chunk sizes, exact-shadow reshape uses
+    the fine sample count."""
+    model = TNeRF(layer_width=32, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    r1 = Renderer(model, variables, n_samples=16, chunk=64,
+                  fast_render=(8, 8))
+    r2 = Renderer(model, variables, n_samples=16, chunk=256,
+                  fast_render=(8, 8))
+    out1 = r1.render_img((80, 20), (45, 180), 0.5, 12)
+    out2 = r2.render_img((80, 20), (45, 180), 0.5, 12)
+    np.testing.assert_allclose(out1["Col_Img"], out2["Col_Img"], atol=1e-5)
+    assert np.isfinite(out1["Col_Img"]).all()
+    # exact-shadow path: secondary rays cast from the n_fine window samples
+    out = r1.render_img((90, 0), (45, 180), 0.5, 6, exact_shadow=True)
+    assert out["Exact_Shadow_Mask"].shape == (6, 6)
+    assert np.isfinite(out["Exact_Shadow_Mask"]).all()
+
+
+def test_fast_component_render_matches_exact():
+    """The component path (eval/serving layer renders) under fast_render
+    concentrates its per-sample capture in the surface window and the
+    composited images agree with the uniform-sampling composite."""
+    model = _PeakSceneModel()
+    r_exact = Renderer(model, {}, n_samples=96, chunk=4096)
+    r_fast = Renderer(model, {}, n_samples=96, chunk=4096,
+                      fast_render=(32, 32))
+    kw = dict(view_el_az=(75, 30), sun_el_az=(50, 200), time_frac=0.3,
+              out_size=(10, 10))
+    res_e = r_exact.component_render_by_dir(**kw)
+    res_f = r_fast.component_render_by_dir(**kw)
+    assert res_f["rho"].shape == (100, 32, 1)
+    imgs_e = images_from_components(res_e, (10, 10))
+    imgs_f = images_from_components(res_f, (10, 10))
+    for k in ("Base_Img", "Season_Adj_Img", "Shadow_Mask"):
+        np.testing.assert_allclose(imgs_f[k], imgs_e[k], atol=0.02,
+                                   err_msg=k)

@@ -205,3 +205,16 @@ def test_concurrent_requests(server):
     for t in threads:
         t.join(timeout=600)
     assert results == [200, 200, 200, 200]
+
+
+def test_fast_render_service(tiny_model_dir):
+    """--fast_render plumbs through RenderService: /info reports it and
+    rendered frames stay well-formed."""
+    service = RenderService(tiny_model_dir, fast_render=(8, 8))
+    assert service.info()["fast_render"] == [8, 8]
+    img = service.render_view((70, 0), (45, 180), 0.5, size=8)
+    assert img.shape == (8, 8, 3)
+    import numpy as np
+    assert np.isfinite(img).all()
+    dsm, units = service.dsm(size=8)
+    assert dsm.shape == (8, 8)

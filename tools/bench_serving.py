@@ -34,6 +34,12 @@ def main():
                    help="bfloat16 matmul compute dtype for the trunk")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard rays over this many devices (0 = no mesh)")
+    p.add_argument("--fast_render", type=int, nargs=2, default=None,
+                   metavar=("N_COARSE", "N_FINE"),
+                   help="depth-guided fast rendering: sigma-only coarse "
+                        "pass finds the surface window, full network runs "
+                        "only on N_FINE window samples "
+                        "(render_chunk_outputs_fast)")
     p.add_argument("--cpu", action="store_true",
                    help="force the virtual CPU platform with --mesh devices "
                         "(mesh-correctness runs; the axon TPU plugin ignores "
@@ -64,7 +70,7 @@ def main():
         from season_nerf_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.mesh)
     r = Renderer(model, variables, n_samples=args.n_samples, chunk=args.chunk,
-                 mesh=mesh)
+                 mesh=mesh, fast_render=args.fast_render)
 
     # warmup/compile
     r.render_img((70.0, 40.0), (45.0, 180.0), 0.5, args.size)
@@ -82,7 +88,9 @@ def main():
                   f"chunk {args.chunk}, fc {args.fc}"
                   f"{', fast_sine' if args.fast_sine else ''}"
                   f"{', bf16' if args.bf16 else ''}"
-                  f"{f', mesh {args.mesh}' if args.mesh > 1 else ''}",
+                  f"{f', mesh {args.mesh}' if args.mesh > 1 else ''}"
+                  + (f", fast_render {args.fast_render[0]}+"
+                     f"{args.fast_render[1]}" if args.fast_render else ""),
         "device": str(jax.devices()[0]),
     }))
 

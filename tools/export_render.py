@@ -25,15 +25,24 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_render_fn(model, variables, n_samples: int, classic_solar: bool):
+def build_render_fn(model, variables, n_samples: int, classic_solar: bool,
+                    fast_render=None):
     """The pure per-chunk render function with weights closed over (they
     export as constants).  Delegates to the live renderer's own
     ``render_chunk_outputs`` (render/renderer.py) — literally one source
     of truth for the output contract, so the exported artifact cannot
-    drift from ``Renderer._full_chunk``."""
-    from season_nerf_tpu.render.renderer import render_chunk_outputs
+    drift from ``Renderer._full_chunk``.  ``fast_render=(n_coarse,
+    n_fine)`` exports the depth-guided fast kernel instead (same output
+    contract; qualify with tools/fast_render_ab.py first)."""
+    from season_nerf_tpu.render.renderer import (render_chunk_outputs,
+                                                 render_chunk_outputs_fast)
 
     def render_chunk(tops, bots, sun, t4):
+        if fast_render is not None:
+            return render_chunk_outputs_fast(
+                model, variables, tops, bots, sun, t4,
+                n_coarse=fast_render[0], n_fine=fast_render[1],
+                classic_solar=classic_solar)
         return render_chunk_outputs(model, variables, tops, bots, sun, t4,
                                     n_samples=n_samples,
                                     classic_solar=classic_solar)
@@ -42,13 +51,15 @@ def build_render_fn(model, variables, n_samples: int, classic_solar: bool):
 
 
 def export_render(model, variables, n_samples: int, chunk: int,
-                  classic_solar: bool = False, use_hsluv: bool = False):
+                  classic_solar: bool = False, use_hsluv: bool = False,
+                  fast_render=None):
     """Serialize the render kernel; returns (blob: bytes, manifest: dict)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    fn = build_render_fn(model, variables, n_samples, classic_solar)
+    fn = build_render_fn(model, variables, n_samples, classic_solar,
+                         fast_render=fast_render)
     f32 = jnp.float32
     args = (jax.ShapeDtypeStruct((chunk, 3), f32),
             jax.ShapeDtypeStruct((chunk, 3), f32),
@@ -62,6 +73,7 @@ def export_render(model, variables, n_samples: int, chunk: int,
                 " height[chunk], ps_sum[chunk]}",
         "chunk": chunk,
         "n_samples": n_samples,
+        "fast_render": list(fast_render) if fast_render else None,
         "classic_solar": classic_solar,
         "dtype": "float32",
         # a use_HSLuv-trained model's color head emits normalized HSLuv
@@ -92,6 +104,10 @@ def main():
     p.add_argument("--check", action="store_true",
                    help="round-trip the blob and compare vs the live "
                         "renderer on random rays")
+    p.add_argument("--fast_render", type=int, nargs=2, default=None,
+                   metavar=("N_COARSE", "N_FINE"),
+                   help="export the depth-guided fast kernel instead of "
+                        "the exact uniform sampler")
     args = p.parse_args()
 
     import numpy as np
@@ -104,7 +120,8 @@ def main():
     chunk = args.chunk or cfg.chunk
     blob, manifest = export_render(model, variables, cfg.n_samples, chunk,
                                    classic_solar=cfg.Solar_Type_2,
-                                   use_hsluv=cfg.use_HSLuv)
+                                   use_hsluv=cfg.use_HSLuv,
+                                   fast_render=args.fast_render)
     if cfg.use_HSLuv:
         print("note: model trained in HSLuv — the artifact's 'rendered' "
               "output is normalized HSLuv (see manifest color_space); "
@@ -129,7 +146,8 @@ def main():
                              (chunk, 4)).copy()
         got = re.call(tops, bots, sun, t4)
         fn = build_render_fn(model, variables, cfg.n_samples,
-                             cfg.Solar_Type_2)
+                             cfg.Solar_Type_2,
+                             fast_render=args.fast_render)
         want = jax.jit(fn)(tops, bots, sun, t4)
         for k in want:
             np.testing.assert_allclose(np.asarray(got[k]),

@@ -30,13 +30,18 @@ def main():
                         "coords): x,y,z,pitch,yaw,fov,sun_el,sun_az,"
                         "time_frac — use --pose_keyframe=-0.8,... for "
                         "values starting with a minus")
+    p.add_argument("--fast_render", type=int, nargs=2, default=None,
+                   metavar=("N_COARSE", "N_FINE"),
+                   help="depth-guided fast rendering for every frame "
+                        "(qualify with tools/fast_render_ab.py)")
     args = p.parse_args()
 
     from season_nerf_tpu.render.movie import (MovieScript, render_movie,
                                               export_film)
     from season_nerf_tpu.render.loading import load_model_dir
 
-    loaded = load_model_dir(args.Model_Location, use_mesh=True)
+    loaded = load_model_dir(args.Model_Location, use_mesh=True,
+                            fast_render=args.fast_render)
     to_vec = loaded.angles_to_vec
     r = loaded.renderer
     script = MovieScript()

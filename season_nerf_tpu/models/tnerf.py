@@ -85,8 +85,11 @@ class GNeRF(nn.Module):
         h = pe
         for i, layer in enumerate(self.trunk, start=1):
             if i == skip and i > 1:
-                h = jnp.concatenate([h, pe], -1)
-            h = layer(h, train)
+                # skip concat without materializing [N, 575]: the layer's
+                # SplitDense computes h @ k[:w] + pe @ k[w:] (models/siren.py)
+                h = layer(h, train, extra=pe)
+            else:
+                h = layer(h, train)
         return self.fc9(h, train)
 
     def position(self, x, train=False):
@@ -105,7 +108,8 @@ class GNeRF(nn.Module):
         rows); the default per-point path stays for API parity."""
         if sun_pe is None:
             sun_pe = positional_encode(sun_dir, self.pe_solar, self.extended)
-        a = self.fc_solar_1(jnp.concatenate([x_enc, sun_pe], -1), train)
+        # [x_enc ++ sun_pe] without materializing the concat (SplitDense)
+        a = self.fc_solar_1(x_enc, train, extra=sun_pe)
         a = self.fc_solar_2(a, train)
         a = self.fc_solar_3(a, train)
         vis_raw = self.fc_solar_4(a).astype(jnp.float32)

@@ -127,6 +127,21 @@ class Config:
     #                                    mid-training (docs/QUALITY_r3.md),
     #                                    worth ~0.3 m DSM MAE from the same
     #                                    run.
+    phase4_prior_keepalive: float = 0.0  # beyond-reference, opt-in: keep a
+    #                                    LINEARLY-DECAYING DSM-prior
+    #                                    Alpha_Adjust MSE alive through phase
+    #                                    4 instead of the reference's hard
+    #                                    cut at the phase 1->4 boundary
+    #                                    (Net_Tool_2.py:23-45).  Motivation:
+    #                                    full-budget runs show validation
+    #                                    geometry peaks mid-training and
+    #                                    decays for the rest of phase 4 while
+    #                                    the seasonal phase optimizes
+    #                                    appearance (docs/QUALITY_r3.md).
+    #                                    Weight = keepalive * (1 - phase-4
+    #                                    progress), reaching exactly 0 at the
+    #                                    final step.  0.0 = reference
+    #                                    protocol (off).
     fast_sine: bool = True             # polynomial sin activation (exact to
     #                                    f32 on the SIREN pre-activation
     #                                    range; ops/fast_math.py).  The
@@ -201,6 +216,7 @@ class Config:
         "number_low_frequency_cases", "n_samples", "n_importance",
         "use_HSLuv", "Use_MSE_loss", "Use_Solar", "Solar_Type_2",
         "sc_lambda", "ds_lambda", "p_lambda", "lr", "lr_alpha_scale",
+        "phase4_prior_keepalive",
         "batch_size", "n_saves", "jump_start", "DSM_Mode",
         "weight_training_samples", "img_training_downscale",
         "img_validation_downscale", "testing_size", "site_name",

@@ -173,6 +173,10 @@ class Trainer:
             use_solar=cfg.Use_Solar, classic_solar=cfg.Solar_Type_2,
             use_mse_loss=cfg.Use_MSE_loss, sc_lambda=cfg.sc_lambda,
             phase_len=phase.end, color_cfg=color_cfg, alpha_cfg=alpha_cfg,
+            prior_keepalive=(cfg.phase4_prior_keepalive
+                             if (not use_prior and self.prior_hm is not None
+                                 and cfg.jump_start) else 0.0),
+            phase_start=phase.start,
             remat=cfg.remat_trunk)
 
     def _enter_phase(self, phase):

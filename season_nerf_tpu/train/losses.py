@@ -50,6 +50,13 @@ class LossStatics(NamedTuple):
     phase_len: int             # Model_Trust denominator (phase end step)
     color_cfg: Optional[AdaptiveCfg] = None
     alpha_cfg: Optional[AdaptiveCfg] = None
+    prior_keepalive: float = 0.0  # beyond-reference, opt-in: when the prior
+    #                               is OFF (phase 4), add a decaying
+    #                               Alpha_Adjust MSE against the prior PE —
+    #                               weight keepalive*(1 - phase progress),
+    #                               0 at the final step (config.py
+    #                               phase4_prior_keepalive)
+    phase_start: int = 0       # keepalive decay origin (phase start step)
     remat: str = ""            # rematerialize network blocks in backward:
     #                            "" off, "full", or "dots" (rendering._remat_policy)
 
@@ -210,6 +217,27 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
             losses["Alpha_width"] = (
                 sg(jnp.mean(robust_loss.scale_of(ada_params["alpha"], a_cfg))),
                 jnp.asarray(1.0))
+
+    # ---- phase-4 prior keepalive (beyond-reference, opt-in) ----------------
+    # The reference cuts the DSM prior dead at the phase 1->4 boundary
+    # (Net_Tool_2.py:23-45) and our full-budget runs show the geometry the
+    # prior bought decaying for the rest of training (docs/QUALITY_r3.md).
+    # With ``prior_keepalive`` > 0 a plain Alpha_Adjust MSE stays alive in
+    # the prior-off phase, its weight decaying linearly to exactly 0 at the
+    # final step — anchoring geometry early in phase 4 while still releasing
+    # the density field for the appearance fine-tuning the phase exists for.
+    if (not s.use_prior) and s.prior_keepalive > 0 and prior_hm is not None:
+        from season_nerf_tpu.models.tnerf import supervised_sigma
+        deltas = out["deltas"]
+        rho_sup = supervised_sigma(
+            prior_hm, out["pts"].reshape(-1, 3),
+            deltas.reshape(-1, 1)).reshape(deltas.shape)
+        _, pe_sup, _ = rendering.pv_pe_ps(rho_sup, deltas)
+        span = max(s.phase_len - s.phase_start, 1)
+        decay = jnp.clip((s.phase_len - step) / span, 0.0, 1.0)
+        losses["Alpha_Adjust"] = (
+            jnp.mean((out["pe"] - sg(pe_sup)) ** 2),
+            jnp.asarray(s.prior_keepalive) * decay)
 
     total = jnp.asarray(0.0)
     for v, w in losses.values():

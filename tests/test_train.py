@@ -153,6 +153,56 @@ def test_train_adaptive_with_prior(tiny_setup):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_phase4_prior_keepalive(tiny_setup):
+    """phase4_prior_keepalive keeps a decaying Alpha_Adjust alive in the
+    prior-off phase: present in the phase-4 loss dict, weight decaying
+    linearly to 0 at the final step; keepalive=0 (the reference protocol)
+    produces no such term."""
+    from season_nerf_tpu.train.losses import season_nerf_loss
+
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg("", n_saves=0, phase4_prior_keepalive=0.25,
+                    max_train_steps=20)
+    tr = Trainer(cfg, train_tab, val_tab, prior_hm=scene.prior_hm)
+    tr.run(scan_chunk=1)
+    assert tr._phase.index == 4 and not tr._phase_statics.use_prior
+    s = tr._phase_statics
+    assert s.prior_keepalive == 0.25
+    assert s.phase_start == 4 and s.phase_len == 20  # phase-4 span
+
+    batch = {"top": jnp.asarray(train_tab.rows[:8, 2:5]),
+             "bot": jnp.asarray(train_tab.rows[:8, 5:8]),
+             "sun": jnp.asarray(train_tab.rows[:8, 8:11]),
+             "t4": jnp.asarray(train_tab.rows[:8, 11:15]),
+             "gt_rgb": jnp.asarray(train_tab.rows[:8, 19:22])}
+    variables = {"params": tr.state.params,
+                 "batch_stats": tr.state.batch_stats}
+
+    def loss_at(step, statics):
+        _, (losses, _) = season_nerf_loss(
+            tr.model, variables, tr.state.ada_params, statics, batch,
+            jax.random.PRNGKey(0), step=jnp.asarray(step), train=True,
+            prior_hm=tr.prior_hm, mutable=True)
+        return losses
+
+    losses_start = loss_at(s.phase_start, s)
+    losses_end = loss_at(s.phase_len, s)
+    assert "Alpha_Adjust" in losses_start
+    w_start = float(losses_start["Alpha_Adjust"][1])
+    w_end = float(losses_end["Alpha_Adjust"][1])
+    assert np.isclose(w_start, 0.25), w_start   # full weight at phase entry
+    assert w_end == 0.0                         # exactly 0 at the last step
+    # halfway: half the weight (linear decay)
+    w_mid = float(loss_at((s.phase_start + s.phase_len) // 2,
+                          s)["Alpha_Adjust"][1])
+    assert np.isclose(w_mid, 0.125), w_mid
+    assert np.isfinite(float(losses_start["Alpha_Adjust"][0]))
+
+    # keepalive=0: the reference protocol — no Alpha_Adjust in phase 4
+    s0 = s._replace(prior_keepalive=0.0)
+    assert "Alpha_Adjust" not in loss_at(s.phase_start, s0)
+
+
 def test_train_mse_path(tiny_setup):
     scene, train_tab, val_tab, logs = tiny_setup
     cfg = _tiny_cfg(logs, Use_MSE_loss=True, jump_start=False,

@@ -74,6 +74,11 @@ def convert_state_dict(state_dict: Dict) -> Tuple[Dict, Dict]:
     stats: Dict = {}
 
     def linear(prefix, path):
+        if prefix + ".weight" not in sd:
+            # tolerate reference-unused heads absent from flax-trained
+            # state dicts (see _UNUSED_HEADS below)
+            assert path[-1] in _UNUSED_HEADS, f"missing torch key {prefix}"
+            return
         _set(params, path, "kernel", sd[prefix + ".weight"].T.copy())
         if prefix + ".bias" in sd:
             _set(params, path, "bias", sd[prefix + ".bias"].copy())
@@ -92,6 +97,85 @@ def convert_state_dict(state_dict: Dict) -> Tuple[Dict, Dict]:
     for prefix, path in _LINEAR:
         linear(prefix, path)
     return params, stats
+
+
+def _get(tree, path, leaf_name):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node[leaf_name])
+
+
+def _has(tree, path, leaf_name):
+    node = tree
+    for p in path:
+        if p not in node:
+            return False
+        node = node[p]
+    return leaf_name in node
+
+
+# Heads the reference defines but its forward never calls
+# (T_NeRF_net_v2.py:49-51).  Flax materializes parameters lazily, so a model
+# trained HERE has no leaves for them; a model converted FROM a reference
+# checkpoint does.  When absent they may be left at the torch net's own
+# init — no forward mode reads them.
+_UNUSED_HEADS = ("adjust_rho", "adjust_solar_vis", "adjust_sky_col")
+
+
+def to_state_dict(params: Dict, batch_stats: Dict) -> Dict:
+    """The inverse of ``convert_state_dict``: flax (params, batch_stats) ->
+    a torch ``T_NeRF`` state_dict (numpy values; wrap with
+    ``torch.from_numpy`` via ``load_into_reference``).
+
+    Round-trips exactly: ``convert_state_dict(to_state_dict(p, s)) == (p, s)``
+    leaf-for-leaf.  Lets the reference's own eval harness
+    (T_NeRF_Eval_Utils/Eval_funcs.py) score a model THIS framework trained —
+    the cross-validation direction torch->flax alone cannot provide."""
+    sd: Dict = {}
+
+    def linear(prefix, path):
+        if not _has(params, path, "kernel"):
+            assert path[-1] in _UNUSED_HEADS, f"missing flax leaf at {path}"
+            return
+        sd[prefix + ".weight"] = _get(params, path, "kernel").T.copy()
+        sd[prefix + ".bias"] = _get(params, path, "bias").copy()
+
+    for prefix, path in _SINE:
+        linear(prefix + ".linear", path + ("linear",))
+        node = params
+        for p in path:
+            node = node.get(p, {})
+        if "norm" in node:                      # BatchNorm1d, not Identity
+            sd[prefix + ".norm.weight"] = _get(params, path + ("norm",),
+                                               "scale").copy()
+            sd[prefix + ".norm.bias"] = _get(params, path + ("norm",),
+                                             "bias").copy()
+            sd[prefix + ".norm.running_mean"] = _get(
+                batch_stats, path + ("norm",), "mean").copy()
+            sd[prefix + ".norm.running_var"] = _get(
+                batch_stats, path + ("norm",), "var").copy()
+            sd[prefix + ".norm.num_batches_tracked"] = np.asarray(
+                0, dtype=np.int64)
+    for prefix, path in _LINEAR:
+        linear(prefix, path)
+    return sd
+
+
+def load_into_reference(ref_net, params: Dict, batch_stats: Dict):
+    """Load flax variables into an instantiated reference ``T_NeRF``.
+    Strict up to the reference's unused heads: every other torch parameter
+    must be produced, and no unexpected key may appear."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).astype(
+        np.float32) if v.dtype != np.int64 else np.ascontiguousarray(v))
+        for k, v in to_state_dict(params, batch_stats).items()}
+    result = ref_net.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    bad = [k for k in result.missing_keys
+           if not any(u in k for u in _UNUSED_HEADS)]
+    assert not bad, f"missing non-unused torch keys: {bad}"
+    return ref_net
 
 
 def load_reference_checkpoint(path_or_state_dict, template_variables):

@@ -324,3 +324,56 @@ def test_solar_branch_parity(ref_model, ours_from_ref):
         np.testing.assert_allclose(np.asarray(out["pe"]),
                                    ref["PE"].numpy(), atol=1e-3,
                                    err_msg=f"use_prior={use_prior}")
+
+
+def test_flax_to_torch_reverse_direction(ref_model):
+    """The flax->torch inverse (utils/torch_convert.to_state_dict): a model
+    with OUR randomly-initialized weights loads into the reference's own
+    T_NeRF (strict state_dict) and the reference net then reproduces our
+    forward — the direction that lets the reference's eval harness score a
+    model this framework trained."""
+    torch, _ = ref_model
+    import jax
+    import jax.numpy as jnp
+    from T_NeRF_Full_2.T_NeRF_net_v2 import T_NeRF as RefTNeRF
+    from season_nerf_tpu.models.tnerf import TNeRF
+    from season_nerf_tpu.utils.torch_convert import (
+        convert_state_dict, load_into_reference, to_state_dict)
+
+    model = TNeRF(layer_width=64, n_classes=4)
+    variables = model.init(jax.random.PRNGKey(42), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    # exact round trip: flax -> torch sd -> flax, leaf-for-leaf
+    p2, s2 = convert_state_dict(to_state_dict(params, stats))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(p2)[0]):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(a, b)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(stats)[0],
+            jax.tree_util.tree_flatten_with_path(s2)[0]):
+        np.testing.assert_array_equal(a, b)
+
+    # the reference net, loaded strictly with our weights, matches our
+    # forward on fresh inputs
+    net = RefTNeRF(64, n_classes=4)
+    load_into_reference(net, params, stats)
+    net.eval()
+    x, sun, t4 = _inputs(n=24, seed=9)
+    with torch.no_grad():
+        rho_t, col_t, vis_t, sky_t, cls_t, _ = net(
+            torch.tensor(x), torch.tensor(sun), torch.tensor(t4))
+    out = model.apply(variables, jnp.asarray(x), jnp.asarray(sun),
+                      jnp.asarray(t4), train=False)
+    np.testing.assert_allclose(np.asarray(out["rho"]), rho_t.numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["col"]), col_t.numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["vis"]), vis_t.numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["class_probs"]),
+                               cls_t.numpy(), atol=1e-5)

@@ -56,9 +56,9 @@ def parse_xplane(trace_dir, top=30):
             stat_md = {k: v.name for k, v in plane.stat_metadata.items()}
             ev_md = {k: v for k, v in plane.event_metadata.items()}
             for line in plane.lines:
-                if "XLA Ops" not in line.name and "Steps" != line.name \
-                        and "xla" not in line.name.lower() \
-                        and "Ops" not in line.name:
+                # sync compute ops only: async copies (VMEM prefetches)
+                # overlap compute and would double-count wall time
+                if line.name != "XLA Ops":
                     continue
                 for ev in line.events:
                     md = ev_md.get(ev.metadata_id)
@@ -69,14 +69,15 @@ def parse_xplane(trace_dir, top=30):
                     rec[1] += 1
                     for st in list(ev.stats) + (list(md.stats) if md else []):
                         sname = stat_md.get(st.metadata_id, "")
-                        val = (st.value.int64_value or st.value.uint64_value
-                               or st.value.double_value)
+                        val = (st.int64_value or st.uint64_value
+                               or st.double_value)
                         if sname == "flops":
                             rec[2] = max(rec[2], float(val) or 0.0)
                         elif sname in ("bytes accessed", "bytes_accessed"):
                             rec[3] = max(rec[3], float(val) or 0.0)
                         elif sname == "hlo_category":
-                            rec[4] = st.value.str_value
+                            rec[4] = st.str_value or stat_md.get(
+                                st.ref_value, rec[4])
     total_ps = sum(r[0] for r in agg.values())
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]
     print(f"{'op':60s} {'cat':18s} {'ms':>8s} {'%':>5s} {'n':>5s} "

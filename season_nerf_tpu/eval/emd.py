@@ -25,33 +25,86 @@ import numpy as np
 # Signatures
 # ---------------------------------------------------------------------------
 
+# OpenCV COLOR_RGB2LAB float semantics (no sRGB companding on the float
+# path; D65 white).  The reference builds its signatures in this space
+# (mg_EM_Imgs.py:220-230) so EM values are L1 distances in LAB units.
+_RGB2XYZ_D65 = np.array([[0.412453, 0.357580, 0.180423],
+                         [0.212671, 0.715160, 0.072169],
+                         [0.019334, 0.119193, 0.950227]])
+_D65_WHITE = np.array([0.950456, 1.0, 1.088754])
+# per-axis LAB ranges the reference bins over (mg_EM_Imgs.py:226-227)
+LAB_RANGES = ((0.0, 100.0), (-127.0, 127.0), (-127.0, 127.0))
+LAB_BIN_SIZE = 12.5
+
+
+def rgb_to_lab(rgb: np.ndarray) -> np.ndarray:
+    """[..., 3] RGB in [0, 1] -> CIE LAB, matching cv2.cvtColor's float
+    RGB2Lab (L in [0, 100], a/b in about [-127, 127]); oracle-tested
+    against cv2 when available."""
+    x = np.asarray(rgb, np.float64)
+    # sRGB inverse companding (cv2's float path linearizes before XYZ)
+    x = np.where(x > 0.04045, ((x + 0.055) / 1.055) ** 2.4, x / 12.92)
+    xyz = x @ _RGB2XYZ_D65.T / _D65_WHITE
+    thr = 0.008856
+
+    def f(t):
+        return np.where(t > thr, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    fx, fy, fz = f(xyz[..., 0]), f(xyz[..., 1]), f(xyz[..., 2])
+    L = np.where(xyz[..., 1] > thr, 116.0 * fy - 16.0, 903.3 * xyz[..., 1])
+    return np.stack([L, 500.0 * (fx - fy), 200.0 * (fy - fz)], -1)
+
+
 def color_signature(img: np.ndarray, bins_per_edge: int = 8,
                     dist_thresh: Optional[float] = None,
                     prune_thresh: float = 0.001,
-                    value_range: Tuple[float, float] = (0.0, 1.0)):
+                    value_range: Tuple[float, float] = (0.0, 1.0),
+                    space: str = "lab"):
     """[..., 3] image -> signature [K, 4] rows (cx, cy, cz, weight).
 
     Uniform 3-D histogram, per-bin mean color as centroid, bins whose
     centroids are within ``dist_thresh`` merged (union-find over the KD-tree
     neighbor graph), bins below ``prune_thresh`` mass dropped, weights
     renormalized to sum 1.
+
+    ``space="lab"`` (default) is the reference protocol (get_Sig,
+    mg_EM_Imgs.py:236-316): RGB converted to LAB, per-axis bin edges
+    ``linspace(lo, hi, int((hi-lo)/12.5)+1)``, merge radius = mean of the
+    half bin widths — EM values come out in LAB-unit L1 distance,
+    comparable to the reference's cv.EMD numbers.  ``space="rgb"`` bins the
+    raw values over ``value_range`` (the pre-round-4 behavior; EM is then
+    in color-cube units, ~80x smaller).
     """
     x = np.asarray(img, np.float64).reshape(-1, 3)
     x = x[np.isfinite(x).all(axis=1)]
-    lo, hi = value_range
-    q = np.clip(((x - lo) / (hi - lo) * bins_per_edge).astype(int),
-                0, bins_per_edge - 1)
-    flat = (q[:, 0] * bins_per_edge + q[:, 1]) * bins_per_edge + q[:, 2]
-    n_bins = bins_per_edge ** 3
+    if space == "lab":
+        x = rgb_to_lab(x)
+        edges_n = [int((hi - lo) / LAB_BIN_SIZE) + 1 for lo, hi in LAB_RANGES]
+        n_per_axis = [max(n - 1, 1) for n in edges_n]
+        widths = [(hi - lo) / n
+                  for (lo, hi), n in zip(LAB_RANGES, n_per_axis)]
+        q = np.stack([
+            np.clip(((x[:, c] - lo) / w_).astype(int), 0, n - 1)
+            for c, ((lo, _hi), w_, n) in enumerate(
+                zip(LAB_RANGES, widths, n_per_axis))], 1)
+        flat = (q[:, 0] * n_per_axis[1] + q[:, 1]) * n_per_axis[2] + q[:, 2]
+        n_bins = int(np.prod(n_per_axis))
+        if dist_thresh is None:
+            dist_thresh = float(np.mean([w_ / 2 for w_ in widths]))
+    else:
+        lo, hi = value_range
+        q = np.clip(((x - lo) / (hi - lo) * bins_per_edge).astype(int),
+                    0, bins_per_edge - 1)
+        flat = (q[:, 0] * bins_per_edge + q[:, 1]) * bins_per_edge + q[:, 2]
+        n_bins = bins_per_edge ** 3
+        if dist_thresh is None:
+            dist_thresh = (hi - lo) / bins_per_edge
     counts = np.bincount(flat, minlength=n_bins).astype(np.float64)
     sums = np.stack([np.bincount(flat, weights=x[:, c], minlength=n_bins)
                      for c in range(3)], 1)
     good = counts > 0
     cent = sums[good] / counts[good][:, None]
     w = counts[good]
-
-    if dist_thresh is None:
-        dist_thresh = (hi - lo) / bins_per_edge
     if cent.shape[0] > 1 and dist_thresh > 0:
         from scipy.spatial import cKDTree
         tree = cKDTree(cent)
@@ -142,7 +195,10 @@ def _batched_sinkhorn_fn(metric: str, reg: float, n_iters: int):
         d = x1[:, None, :] - x2[None, :, :]
         C = (jnp.abs(d).sum(-1) if metric == "l1"
              else jnp.sqrt((d ** 2).sum(-1) + 1e-12))
-        logK = -C / reg
+        # reg is relative to the pair's cost scale, so convergence behavior
+        # is invariant to the signature units (RGB-cube ~1 vs LAB ~300)
+        scale = jnp.maximum(jnp.max(C), 1e-12)
+        logK = -(C / scale) / reg
         log_w1 = jnp.log(w1 + 1e-30)
         log_w2 = jnp.log(w2 + 1e-30)
 

@@ -44,18 +44,26 @@ def ssim_global(img, ref, max_val=1.0, k1=0.01, k2=0.03):
             / ((mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2)))
 
 
-def _gaussian_kernel(size=13, sigma=2.6):
-    x = np.arange(size) - (size - 1) / 2
+def _gaussian_kernel(size=13, sigma=1.5):
+    # sigma 1.5 regardless of window size: the reference builds its window
+    # via get_gaussian_kernel2d((win, win), (1.5, 1.5)) (Eval_funcs.py:49)
+    x = np.arange(size) - size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
     k = np.outer(g, g)
-    return jnp.asarray(k / k.sum(), dtype=jnp.float32)
+    return jnp.asarray(k, dtype=jnp.float32)
 
 
 def _filter2d(img, kernel):
-    """Depthwise 2-D convolution, 'valid' padding.  img: [H, W] or [H, W, C]."""
+    """Depthwise 2-D convolution with edge-replicated ('nearest') padding —
+    the reference's scipy ``convolve(..., mode="nearest")`` semantics
+    (Eval_funcs.py:36-46): output is full [H, W], border windows computed on
+    replicated edge pixels.  img: [H, W] or [H, W, C]."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
+    pad = kernel.shape[0] // 2
+    img = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     x = jnp.transpose(img, (2, 0, 1))[:, None]          # [C, 1, H, W]
     k = kernel[None, None]                               # [1, 1, kh, kw]
     y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
@@ -63,13 +71,19 @@ def _filter2d(img, kernel):
     return y[..., 0] if squeeze else y
 
 
-def ssim(img, ref, mask=None, max_val=1.0, win_size=13, sigma=2.6,
+def ssim(img, ref, mask=None, max_val=1.0, win_size=13, sigma=1.5,
          k1=0.01, k2=0.03):
-    """Masked Gaussian-window SSIM (Eval_funcs.py:48-82 equivalent).
+    """Masked Gaussian-window SSIM — the reference protocol exactly
+    (mask_ssim, Eval_funcs.py:48-82): full-size SSIM map over
+    edge-replicated windows, averaged over windows that touch NO invalid
+    pixel (``mask_filter(1-mask) == 0``), NOT merely center-valid windows.
+    A center-valid average would count windows whose statistics include
+    filled-in invalid pixels — on renders with NaN borders those windows
+    compare fill against fill and inflate the score (caught by the round-4
+    reference cross-eval, tools/cross_eval_reference.py).
 
-    img/ref: [H, W] or [H, W, C] in [0, max_val].  The SSIM map is computed
-    with a 13x13 Gaussian window; ``mask`` (per-pixel, [H, W]) restricts the
-    average to windows whose center pixel is valid.
+    img/ref: [H, W] or [H, W, C] in [0, max_val]; invalid pixels must be
+    zero-filled by the caller (their values never reach the average).
     Returns the mean SSIM (scalar).
     """
     img = img.astype(jnp.float32)
@@ -87,14 +101,17 @@ def ssim(img, ref, mask=None, max_val=1.0, win_size=13, sigma=2.6,
     cov = mu_xy - mu_x * mu_y
     ssim_map = ((2 * mu_x * mu_y + c1) * (2 * cov + c2)
                 / ((mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2)))
-    if mask is not None:
-        pad = (win_size - 1) // 2
-        m = mask[pad:-pad, pad:-pad].astype(jnp.float32)
-        while m.ndim < ssim_map.ndim:
-            m = m[..., None]
-        return jnp.sum(ssim_map * m) / jnp.maximum(
-            jnp.sum(m * jnp.ones_like(ssim_map)), 1.0)
-    return jnp.mean(ssim_map)
+    if mask is None:
+        return jnp.mean(ssim_map)
+    # strict window validity: a window with ANY invalid pixel contributes
+    # a strictly positive value to conv(1-mask), an all-valid window an
+    # exact float zero (sum of zeros — no cancellation)
+    invalid = 1.0 - mask.astype(jnp.float32)
+    m = (_filter2d(invalid, kern) == 0.0).astype(jnp.float32)
+    while m.ndim < ssim_map.ndim:
+        m = m[..., None]
+    return jnp.sum(ssim_map * m) / jnp.maximum(
+        jnp.sum(m * jnp.ones_like(ssim_map)), 1.0)
 
 
 def pairwise_ssim_global(patches, max_val=1.0, k1=0.01, k2=0.03):

@@ -14,21 +14,21 @@ def _rand_img(seed, shift=0.0):
 
 
 def test_signature_mass_and_shape():
-    sig = emd.color_signature(_rand_img(0), bins_per_edge=6)
+    sig = emd.color_signature(_rand_img(0), bins_per_edge=6, space="rgb")
     assert sig.shape[1] == 4
     np.testing.assert_allclose(sig[:, 3].sum(), 1.0, atol=1e-9)
     assert (sig[:, :3] >= 0).all() and (sig[:, :3] <= 1).all()
 
 
 def test_emd_identity_zero():
-    sig = emd.color_signature(_rand_img(1), bins_per_edge=5)
+    sig = emd.color_signature(_rand_img(1), bins_per_edge=5, space="rgb")
     assert emd.emd_exact(sig, sig) < 1e-9
 
 
 def test_emd_exact_matches_cv2():
     cv2 = pytest.importorskip("cv2")
-    s1 = emd.color_signature(_rand_img(2), bins_per_edge=5)
-    s2 = emd.color_signature(_rand_img(3, shift=0.3), bins_per_edge=5)
+    s1 = emd.color_signature(_rand_img(2), bins_per_edge=5, space="rgb")
+    s2 = emd.color_signature(_rand_img(3, shift=0.3), bins_per_edge=5, space="rgb")
     ours = emd.emd_exact(s1, s2, metric="l1")
     o1 = np.concatenate([s1[:, 3:], s1[:, :3]], 1).astype(np.float32)
     o2 = np.concatenate([s2[:, 3:], s2[:, :3]], 1).astype(np.float32)
@@ -39,15 +39,15 @@ def test_emd_exact_matches_cv2():
 def test_emd_shift_scales_with_distance():
     base = _rand_img(4)
     d_small = emd.compare_em_imgs(base, np.clip(base + 0.1, 0, 1),
-                                  bins_per_edge=5)
+                                  bins_per_edge=5, space="rgb")
     d_large = emd.compare_em_imgs(base, np.clip(base + 0.35, 0, 1),
-                                  bins_per_edge=5)
+                                  bins_per_edge=5, space="rgb")
     assert 0 < d_small < d_large
 
 
 def test_sinkhorn_approximates_exact():
-    s1 = emd.color_signature(_rand_img(5), bins_per_edge=4)
-    s2 = emd.color_signature(_rand_img(6, shift=0.2), bins_per_edge=4)
+    s1 = emd.color_signature(_rand_img(5), bins_per_edge=4, space="rgb")
+    s2 = emd.color_signature(_rand_img(6, shift=0.2), bins_per_edge=4, space="rgb")
     exact = emd.emd_exact(s1, s2)
     approx = emd.emd_sinkhorn(s1[:, 3], s1[:, :3], s2[:, 3], s2[:, :3],
                               reg=0.002, n_iters=2000)

@@ -1,0 +1,133 @@
+"""Protocol-identity tests: our eval metrics vs the REFERENCE's own code.
+
+Round 4's cross-eval (tools/cross_eval_reference.py) caught two scorer
+divergences the per-metric oracle tests missed: SSIM window semantics
+(center-valid + zero-fill inflates scores on NaN-bordered renders vs the
+reference's strict window validity, Eval_funcs.py:48-82) and the EM color
+space (RGB-cube units vs the reference's LAB signatures,
+mg_EM_Imgs.py:220-316).  These tests import the reference's actual numpy
+implementations and pin agreement.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_eval_funcs():
+    """Load the reference's Eval_funcs.py standalone (stubbing the package
+    chain the way tests/test_torch_parity.py stubs model-side imports)."""
+    np.NaN = np.nan          # reference pins numpy<2
+    sys.modules.setdefault("hsluv", types.ModuleType("hsluv"))
+    pkg = types.ModuleType("T_NeRF_Eval_Utils")
+    pkg.__path__ = [f"{REF}/T_NeRF_Eval_Utils"]
+    sys.modules.setdefault("T_NeRF_Eval_Utils", pkg)
+    pre = types.ModuleType("pre_NeRF")
+    pre.P_img = object
+    sys.modules.setdefault("pre_NeRF", pre)
+    spec = importlib.util.spec_from_file_location(
+        "ref_eval_funcs_solo", f"{REF}/T_NeRF_Eval_Utils/Eval_funcs.py")
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:       # torch/scipy mismatch etc.
+        pytest.skip(f"reference Eval_funcs not importable: {e}")
+    return mod
+
+
+def _textured_pair(seed=0, size=48, noise=0.15):
+    rng = np.random.default_rng(seed)
+    import scipy.ndimage as ndi
+    gt = ndi.gaussian_filter(rng.random((size, size, 3)), (2, 2, 0))
+    gt = gt * 0.8 + 0.1
+    est = np.clip(gt + rng.normal(0, noise, gt.shape), 0, 1)
+    return gt, est
+
+
+def test_ssim_matches_reference_full_mask(ref_eval_funcs):
+    gt, est = _textured_pair(0)
+    mask = np.ones(gt.shape[:2], bool)
+    smap, vp = ref_eval_funcs.mask_ssim(gt, est, mask, 13)
+    ref_val = np.mean(smap[vp])
+    from season_nerf_tpu.ops.metrics import ssim
+    ours = float(ssim(gt, est, mask=mask))
+    np.testing.assert_allclose(ours, ref_val, atol=2e-4)
+
+
+def test_ssim_matches_reference_partial_mask(ref_eval_funcs):
+    """NaN-bordered render case: windows touching invalid pixels must be
+    EXCLUDED, not zero-filled (the round-4 bug: 0.29 reported vs the
+    reference's 0.05 on the same images)."""
+    gt, est = _textured_pair(1)
+    mask = np.zeros(gt.shape[:2], bool)
+    mask[9:-4, 6:-11] = True          # asymmetric invalid border
+    gt_f = np.where(mask[..., None], gt, 0.0)
+    est_f = np.where(mask[..., None], est, 0.0)
+    smap, vp = ref_eval_funcs.mask_ssim(gt_f, est_f, mask, 13)
+    ref_val = np.mean(smap[vp])
+    from season_nerf_tpu.ops.metrics import ssim
+    ours = float(ssim(gt_f, est_f, mask=mask))
+    np.testing.assert_allclose(ours, ref_val, atol=2e-4)
+    # the excluded windows matter: a center-valid average would differ
+    assert vp.sum() < mask.sum()
+
+
+def test_rgb_to_lab_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(2)
+    rgb = rng.random((31, 17, 3)).astype(np.float32)
+    ref = cv2.cvtColor(rgb, cv2.COLOR_RGB2LAB)
+    from season_nerf_tpu.eval.emd import rgb_to_lab
+    ours = rgb_to_lab(rgb)
+    # cv2's float path runs through fixed-point LUTs (outputs land on
+    # dyadic values); ~0.4 LAB-unit quantization residual is cv2's, not
+    # ours — negligible against the 12.5-unit signature bins
+    np.testing.assert_allclose(ours, ref, atol=0.5)
+
+
+def test_lab_em_matches_reference_mg_em():
+    """End-to-end EM protocol vs the reference's mg_EM + cv.EMD: LAB
+    signatures, bin size 12.5, merge + prune, L1 ground distance."""
+    cv2 = pytest.importorskip("cv2")
+    np.NaN = np.nan
+    for name in ("hsluv", "pyfftw"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "scipy.spatial.kdtree" not in sys.modules:
+        import scipy.spatial
+        legacy = types.ModuleType("scipy.spatial.kdtree")
+        legacy.KDTree = scipy.spatial.KDTree
+        sys.modules["scipy.spatial.kdtree"] = legacy
+    spec = importlib.util.spec_from_file_location(
+        "ref_mg_em_solo", f"{REF}/all_NeRF/mg_EM_Imgs.py")
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:
+        pytest.skip(f"reference mg_EM_Imgs not importable: {e}")
+
+    a, b = _textured_pair(3, size=40, noise=0.0)[0], \
+        _textured_pair(4, size=40, noise=0.0)[1]
+    ref_em, _, _ = mod.compare_EM_imgs(mod.mg_EM(a), mod.mg_EM(b))
+
+    from season_nerf_tpu.eval.emd import compare_em_imgs
+    ours = compare_em_imgs(a, b)     # space="lab" default
+    # signature construction differs in vectorization (binned_statistic_dd
+    # vs bincount; ball-graph vs pair-graph merge) but the protocol is the
+    # same: agree within a few percent in LAB units
+    np.testing.assert_allclose(ours, ref_em, rtol=0.05, atol=0.5)
+
+
+def test_gauntlet_em_is_lab_scale():
+    """The gauntlet's EM column is in LAB units now (tens for disjoint
+    color distributions), matching the reference tables' scale."""
+    from season_nerf_tpu.eval.img_eval import image_quality_gauntlet
+    a = np.zeros((32, 32, 3)) + 0.2
+    b = np.zeros((32, 32, 3)) + 0.8
+    _, _, _, em = image_quality_gauntlet(a, b)
+    assert em > 10.0   # RGB-cube units would give ~1.8

@@ -122,13 +122,30 @@ class SineLayer(nn.Module):
             bias_init=lambda key, shape, dtype=jnp.float32: jax.random.uniform(
                 key, shape, dtype, minval=-bound, maxval=bound),
             name="linear")
-        z = (self.omega_0 * dense(x, extra)).astype(jnp.float32)
+        z = self.omega_0 * dense(x, extra)
+        # Under a bf16 compute dtype the dense output is bf16 and the weak
+        # python-float omega keeps the product bf16 — so ``z`` carries bf16
+        # precision regardless of its storage type.  Type the buffer as
+        # ``dtype`` (NOT f32): bf16<->f32 conversion of bf16-valued data is
+        # exact, BN statistics are accumulated in f32 from the same values
+        # (flax _compute_stats upcasts), and the normalize/sin math below
+        # promotes back to f32 — bit-exact against the old f32
+        # materialization (tests/test_model_ops pins it).  Measured
+        # throughput-neutral on the v5e (XLA was already narrowing the
+        # stored forward buffer); kept because the bf16 typing also makes
+        # z's backward cotangent bf16-eligible and halves the buffer in
+        # any future remat/live-set accounting.
+        if self.dtype is not None:
+            z = z.astype(self.dtype)
         if self.use_norm:
             z = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.99,          # torch momentum=0.01
                 epsilon=1e-5,
+                dtype=jnp.float32,      # f32 normalize math (promote)
                 name="norm")(z)
+        z = z.astype(jnp.float32)       # register-level upcast; fuses into
+        #                                 the consumer, costs no HBM traffic
         if self.fast_sine:
             from season_nerf_tpu.ops.fast_math import fast_sin
             y = fast_sin(z)

@@ -546,3 +546,57 @@ def test_output_locations_match_reference():
             np.testing.assert_array_equal(
                 output_locations(n_steps, n_out, 1000),
                 np.unique(ref(n_steps, n_out, 1000)))
+
+
+def test_sine_layer_bf16_z_storage_bit_exact():
+    """The bf16-typed pre-activation buffer is value-identical to the old
+    f32 materialization: the dense output is bf16 under a bf16 compute
+    dtype and the weak-typed omega product stays bf16, so storing z as
+    bf16 loses nothing — BN stats (f32 accumulation), normalize, sin, and
+    the updated batch stats must all be bit-exact vs the f32-z formula."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from season_nerf_tpu.models.siren import (SineLayer, SplitDense,
+                                              siren_kernel_init)
+    from season_nerf_tpu.ops.fast_math import fast_sin
+
+    class OldSineLayer(SineLayer):
+        @nn.compact
+        def __call__(self, x, train=False, extra=None):
+            in_features = x.shape[-1]
+            bound = 1.0 / float(np.sqrt(in_features))
+            dense = SplitDense(
+                self.features, dtype=self.dtype,
+                kernel_init=siren_kernel_init(self.is_first, self.omega_0),
+                bias_init=lambda key, shape, dtype=jnp.float32:
+                    jax.random.uniform(key, shape, dtype,
+                                       minval=-bound, maxval=bound),
+                name="linear")
+            z = (self.omega_0 * dense(x, extra)).astype(jnp.float32)
+            if self.use_norm:
+                z = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.99, epsilon=1e-5, name="norm")(z)
+            y = fast_sin(z) if self.fast_sine else jnp.sin(z)
+            return y.astype(self.dtype) if self.dtype is not None else y
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (256, 64))
+    for use_norm in (False, True):
+        for train in (False, True):
+            kw = dict(use_norm=use_norm, dtype=jnp.bfloat16, fast_sine=True)
+            new = SineLayer(128, **kw)
+            old = OldSineLayer(128, **kw)
+            vn = new.init(jax.random.PRNGKey(1), x, train=False)
+            vo = old.init(jax.random.PRNGKey(1), x, train=False)
+            mut = ["batch_stats"] if (use_norm and train) else False
+            yn = new.apply(vn, x, train=train, mutable=mut)
+            yo = old.apply(vo, x, train=train, mutable=mut)
+            a = yn[0] if isinstance(yn, tuple) else yn
+            b = yo[0] if isinstance(yo, tuple) else yo
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b, np.float32))
+            if use_norm and train:
+                for p, q in zip(jax.tree_util.tree_leaves(yn[1]),
+                                jax.tree_util.tree_leaves(yo[1])):
+                    np.testing.assert_array_equal(np.asarray(p),
+                                                  np.asarray(q))

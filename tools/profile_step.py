@@ -41,9 +41,16 @@ def parse_xplane(trace_dir, top=30):
     """Aggregate per-op device time from the captured xplane protos."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+    # jax.profiler.trace appends a new plugins/profile/<timestamp>/ session
+    # per capture; parse ONLY the newest one — aggregating the glob over
+    # every accumulated session silently reports stale results (round-4
+    # bug: two different programs "profiled" identically to 0.01 ms)
+    sessions = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*")))
+    root = sessions[-1] if sessions else trace_dir
+    paths = glob.glob(os.path.join(root, "**", "*.xplane.pb"),
                       recursive=True)
-    assert paths, f"no xplane.pb under {trace_dir}"
+    assert paths, f"no xplane.pb under {root}"
     agg = defaultdict(lambda: [0.0, 0, 0.0, 0.0, ""])  # ps, count, flops, bytes, cat
 
     for path in paths:

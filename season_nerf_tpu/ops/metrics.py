@@ -66,7 +66,12 @@ def _filter2d(img, kernel):
     img = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     x = jnp.transpose(img, (2, 0, 1))[:, None]          # [C, 1, H, W]
     k = kernel[None, None]                               # [1, 1, kh, kw]
-    y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
+    # HIGHEST precision: the TPU's default bf16 conv makes the SSIM
+    # variance E[x^2]-E[x]^2 cancel catastrophically (den + c2 can go
+    # negative -> per-window SSIM of +-14 observed in round-4 TPU evals);
+    # f32-accurate convs keep TPU == CPU to float noise
+    y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID",
+                                     precision=jax.lax.Precision.HIGHEST)
     y = jnp.transpose(y[:, 0], (1, 2, 0))
     return y[..., 0] if squeeze else y
 
@@ -128,7 +133,10 @@ def pairwise_ssim_global(patches, max_val=1.0, k1=0.01, k2=0.03):
     mu = jnp.mean(flat, axis=1)
     var = jnp.var(flat, axis=1)
     centered = flat - mu[:, None]
-    cov = centered @ centered.T / flat.shape[1]
+    # f32-accurate dot: the TPU's default bf16 precision adds ~1% noise to
+    # the photo-consistency scores for no speed win off the hot path
+    cov = jnp.matmul(centered, centered.T,
+                     precision=jax.lax.Precision.HIGHEST) / flat.shape[1]
     mu_i, mu_j = mu[:, None], mu[None, :]
     var_i, var_j = var[:, None], var[None, :]
     return ((2 * mu_i * mu_j + c1) * (2 * cov + c2)

@@ -80,7 +80,8 @@ def _remat_policy(remat):
 
 def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
               n_samples, n_importance=0, train=False, classic_solar=False,
-              prior_hm=None, model_trust=1.0, mutable=False, remat=False):
+              prior_hm=None, model_trust=1.0, mutable=False, remat=False,
+              mask_out_of_cube=False):
     """Render a batch of rays: the All_in_One_Eval.eval equivalent.
 
     model/variables: TNeRF flax module + its variables.
@@ -88,6 +89,12 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
     prior_hm: optional [H, W] DSM-prior height map; when given, the outputs
     include the supervised / trust-merged branches used in phase 1
     (Eval_Tools_2.py:218-248).
+
+    ``mask_out_of_cube`` zeroes the deltas of samples outside the unit
+    cube (zero_invalid_pts, misc.py:249-261) — required on the whole-image
+    render surfaces whose edge rays exit the volume (dir_grid_rays /
+    perspective_rays); training/solar rays have both endpoints inside the
+    cube so the mask would be an identity there and is skipped.
 
     Returns (results dict, updated_variable_dict_or_None).
     """
@@ -108,6 +115,9 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
         pts, deltas = sample_fine(k_fine, tops, bots, pts, ps_c[..., 0],
                                   n_importance)
         S = S + n_importance
+    if mask_out_of_cube:
+        from season_nerf_tpu.ops.sampling import out_of_cube
+        deltas = jnp.where(out_of_cube(pts)[..., None], 0.0, deltas)
     flat = pts.reshape(-1, 3)
 
     # The seasonal-class branch, the sun encoding, and the sky MLP are pure

@@ -123,7 +123,8 @@ def render_chunk_outputs(model, variables, tops, bots, sun, t4, *,
     without a second primary network pass."""
     out, _ = rendering.eval_rays(
         model, variables, None, tops, bots, sun, t4,
-        n_samples=n_samples, train=False, classic_solar=classic_solar)
+        n_samples=n_samples, train=False, classic_solar=classic_solar,
+        mask_out_of_cube=True)
     shadow = jnp.sum(out["ps"] * out["vis"], axis=1)[:, 0]
     surf, _ = rendering.expected_surface(out["ps"], out["pts"],
                                          out["deltas"])
@@ -207,6 +208,7 @@ def render_chunk_outputs_fast(model, variables, tops, bots, sun, t4, *,
     t_lo, t_hi = surface_window(model, variables, tops, bots, n_coarse,
                                 support_frac, margin_bins)
     pts, deltas = window_points(tops, bots, t_lo, t_hi, n_fine)
+    deltas = jnp.where(out_of_cube(pts)[..., None], 0.0, deltas)
 
     probs_r, sun_pe_r, sky_raw_r = model.apply(
         variables, sun, t4, train=False, method="ray_consts")

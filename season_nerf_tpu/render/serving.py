@@ -43,6 +43,10 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+def _sig(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
 def parse_time(tf: str) -> float:
     """``MM/DD`` or a year fraction string -> year fraction in [0, 1)."""
     if "/" in tf:
@@ -126,20 +130,41 @@ class RenderService:
         """-> float image in [0, 1] (NaN where no ray was rendered)."""
         if layer not in self.LAYERS:
             raise ValueError(f"layer must be one of {self.LAYERS}")
-        from season_nerf_tpu.render.renderer import images_from_components
-        # the base composite never uses the shadow maps — don't pay the
-        # O(n_samples^2) secondary-ray pass just to discard it
+        # The common layers come from the FUSED whole-image path
+        # (render_img): only per-RAY composites cross the device->host
+        # boundary.  The component path returns per-SAMPLE tensors —
+        # ~n_samples x more transfer; over a tunneled device that is the
+        # difference between ~1.4 s and ~35 s for a 256px frame (measured
+        # round 4).  render_img's Col_Img is the same season x shadow
+        # composite (eval_rays' rendered, machine-pinned against the
+        # reference's All_in_One_Eval), and the gated shadow mask is the
+        # same sigmoid((vis - .2) * 30) map.
         exact = exact_shadow and layer != "base"
+        fused = (not exact) and layer in ("season", "shadow") \
+            and not self.cfg.Solar_Type_2 and not self.cfg.use_HSLuv
         with self._lock:
             self._busy_since = time.monotonic()
             try:
-                comp = self.renderer.component_render_by_dir(
-                    tuple(view_el_az), tuple(sun_el_az), float(time_frac),
-                    (size, size), angles_to_vec=self.angles_to_vec,
-                    exact_solar=exact)
+                if fused:
+                    out = self.renderer.render_img(
+                        tuple(view_el_az), tuple(sun_el_az),
+                        float(time_frac), size,
+                        angles_to_vec=self.angles_to_vec)
+                else:
+                    comp = self.renderer.component_render_by_dir(
+                        tuple(view_el_az), tuple(sun_el_az),
+                        float(time_frac), (size, size),
+                        angles_to_vec=self.angles_to_vec,
+                        exact_solar=exact)
                 self.renders_served += 1
             finally:
                 self._busy_since = None
+        if fused:
+            if layer == "shadow":
+                gate = _sig((out["Shadow_Mask"] - 0.2) * 30.0)
+                return np.where(out["Mask"], gate, np.nan)
+            return np.where(out["Mask"][..., None], out["Col_Img"], np.nan)
+        from season_nerf_tpu.render.renderer import images_from_components
         imgs = images_from_components(comp, (size, size),
                                       classic_shadows=self.cfg.Solar_Type_2)
         if layer == "base":

@@ -218,3 +218,44 @@ def test_fast_render_service(tiny_model_dir):
     assert np.isfinite(img).all()
     dsm, units = service.dsm(size=8)
     assert dsm.shape == (8, 8)
+
+
+def test_fused_layers_match_component_path(server):
+    """The round-4 serving fast path (fused render_img) returns the same
+    season/shadow layers the component path produced, up to the two
+    reference sampling conventions: the fused path samples like the
+    reference's Quick_Run/All_in_One_Eval (bin starts), the component path
+    like mg_Img_Eval._internal_render (inclusive endpoints).  At this tiny
+    fixture's 16 samples the conventions differ visibly (O(1/S) sample
+    offsets); the tolerance below is the measured convention gap, and the
+    NaN masks (out-of-cube handling — the round-4 fused-path fix) must
+    agree exactly."""
+    import numpy as np
+    from season_nerf_tpu.render.renderer import images_from_components
+    _base, service = server
+    view, sun, tf, size = (68.0, 30.0), (50.0, 200.0), 0.4, 24
+
+    season_fast = service.render_view(view, sun, tf, size=size,
+                                      layer="season")
+    shadow_fast = service.render_view(view, sun, tf, size=size,
+                                      layer="shadow")
+    comp = service.renderer.component_render_by_dir(
+        view, sun, tf, (size, size), angles_to_vec=service.angles_to_vec,
+        exact_solar=False)
+    imgs = images_from_components(comp, (size, size),
+                                  classic_shadows=service.cfg.Solar_Type_2)
+    season_ref = imgs["Season_Adj_Img"] * imgs["Shadow_Adjust"]
+    shadow_ref = imgs["Shadow_Mask"]
+
+    m = np.isfinite(season_ref).all(-1) & np.isfinite(season_fast).all(-1)
+    assert m.any()
+    np.testing.assert_allclose(season_fast[m], season_ref[m], atol=0.25)
+    assert float(np.mean(np.abs(season_fast[m] - season_ref[m]))) < 0.03
+    # the gate sig((vis-.2)*30) amplifies the sampling-convention gap 30x
+    # near threshold; the consumer semantic is the binary sun/shadow call
+    ms = np.isfinite(shadow_ref) & np.isfinite(shadow_fast)
+    agree = np.mean((shadow_fast[ms] >= 0.5) == (shadow_ref[ms] >= 0.5))
+    assert agree >= 0.99, f"shadow-call agreement {agree:.4f}"
+    # NaN hole patterns agree too
+    np.testing.assert_array_equal(np.isfinite(season_fast).all(-1),
+                                  np.isfinite(season_ref).all(-1))

@@ -92,12 +92,18 @@ class MovieScript:
 
 
 def render_movie(renderer: Renderer, script: MovieScript, n_frames: int,
-                 out_size: int, angles_to_vec=None):
+                 out_size: int, angles_to_vec=None, pipeline: int = 2):
     """-> [n_frames, H, W, 3] uint8 frames.  6-DoF scripts render through
     the projective free camera (renderer.render_perspective); by-direction
-    scripts through the orthographic path (renderer.render_img)."""
-    frames = []
-    for kf in script.sample(n_frames):
+    scripts through the orthographic path (renderer.render_img).
+
+    ``pipeline`` overlaps consecutive frames: while frame i blocks on its
+    device->host fetch + uint8 conversion, frame i+1's chunk dispatches
+    already queue on the device (jitted calls are thread-safe; the device
+    serializes the compute, so results are order-exact and identical to
+    ``pipeline=1`` — pinned in tests/test_extras.py).  Two stages is the
+    whole win: one frame computing, one frame draining."""
+    def _one(kf: Keyframe) -> np.ndarray:
         if kf.cam_pose is not None:
             x, y, z, pitch, yaw, fov = kf.cam_pose
             out = renderer.render_perspective(
@@ -108,8 +114,14 @@ def render_movie(renderer: Renderer, script: MovieScript, n_frames: int,
                                       kf.time_frac, out_size,
                                       angles_to_vec=angles_to_vec)
         img = np.clip(np.nan_to_num(out["Col_Img"]), 0, 1)
-        frames.append((img * 255).astype(np.uint8))
-    return np.stack(frames)
+        return (img * 255).astype(np.uint8)
+
+    kfs = script.sample(n_frames)
+    if pipeline <= 1 or len(kfs) < 2:
+        return np.stack([_one(kf) for kf in kfs])
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(pipeline, 2)) as ex:
+        return np.stack(list(ex.map(_one, kfs)))
 
 
 def export_film(frames: np.ndarray, path: str, fps: int = 12):

@@ -121,6 +121,11 @@ def test_movie_and_summary_figs(trained_dir, tmp_path):
               .add((80, 240), (40, 270), 0.9))
     frames = render_movie(r, script, n_frames=4, out_size=8)
     assert frames.shape == (4, 8, 8, 3) and frames.dtype == np.uint8
+    # the 2-stage frame pipeline (default) is bit-identical to the serial
+    # loop — overlap changes scheduling, never math
+    frames_serial = render_movie(r, script, n_frames=4, out_size=8,
+                                 pipeline=1)
+    np.testing.assert_array_equal(frames, frames_serial)
     path = export_film(frames, str(tmp_path / "movie.gif"), fps=4)
     assert os.path.exists(path)
 

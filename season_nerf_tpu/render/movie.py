@@ -101,7 +101,8 @@ def render_movie(renderer: Renderer, script: MovieScript, n_frames: int,
     device->host fetch + uint8 conversion, frame i+1's chunk dispatches
     already queue on the device (jitted calls are thread-safe; the device
     serializes the compute, so results are order-exact and identical to
-    ``pipeline=1`` — pinned in tests/test_extras.py).  Two stages is the
+    ``pipeline=1`` — pinned in tests/test_cli_e2e.py::
+    test_movie_and_summary_figs).  Two stages is the
     whole win: one frame computing, one frame draining."""
     def _one(kf: Keyframe) -> np.ndarray:
         if kf.cam_pose is not None:

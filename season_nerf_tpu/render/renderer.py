@@ -19,6 +19,7 @@ cumsum, and composite fuse into a single device launch.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Dict, Optional
 
 import jax
@@ -260,6 +261,11 @@ class Renderer:
         # 5120 x 96 samples ~ 0.5M points per XLA launch measured fastest
         # on v5e (Config.chunk note); any value can be forced via --chunk
         self.chunk = max(chunk, 16)
+        # guards the compile-failure chunk-shrink fallback: render_movie's
+        # pipelined worker threads share this Renderer, and without the
+        # lock both threads can catch the same compile failure and each
+        # halve self.chunk (net quartering) — ADVICE r4
+        self._chunk_lock = threading.Lock()
         self.classic_solar = classic_solar
         self.sun_frame = sun_frame
         # data-parallel inference: rays of every chunk sharded over the
@@ -433,37 +439,46 @@ class Renderer:
         floor = 256 * n_dev
         retried_same_size = None
         while True:
+            attempt_chunk = self.chunk
             try:
                 return self._run_chunks_once(kernel, tops, bots, sun, t4,
-                                             extra_keys)
+                                             extra_keys, attempt_chunk)
             except jax.errors.JaxRuntimeError as e:
                 msg = str(e)
                 retryable = any(m in msg for m in self._COMPILE_FAIL_MARKS)
-                if not retryable or self.chunk <= floor:
+                if not retryable or attempt_chunk <= floor:
                     raise
                 import warnings
                 deterministic = any(m in msg for m in ("RET_CHECK",
                                                        "regalloc"))
                 if (not deterministic
                         and any(m in msg for m in self._MAYBE_TRANSIENT_MARKS)
-                        and retried_same_size != self.chunk):
-                    retried_same_size = self.chunk
+                        and retried_same_size != attempt_chunk):
+                    retried_same_size = attempt_chunk
                     warnings.warn(
-                        f"remote compile failed at chunk={self.chunk} "
+                        f"remote compile failed at chunk={attempt_chunk} "
                         f"({msg.splitlines()[0][:120]}); retrying once at "
                         "the same size (may be a transient service flake)",
                         stacklevel=2)
                     continue
-                new_chunk = max((self.chunk // 2 // n_dev) * n_dev, floor)
-                warnings.warn(
-                    f"render kernel failed to compile at chunk={self.chunk} "
-                    f"({msg.splitlines()[0][:120]}); retrying at "
-                    f"chunk={new_chunk}", stacklevel=2)
-                self.chunk = new_chunk
+                # render_movie's worker threads share this Renderer: only
+                # one thread may shrink per failing size, or the same
+                # failure shrinks twice (ADVICE r4)
+                with self._chunk_lock:
+                    if self.chunk >= attempt_chunk:
+                        new_chunk = max(
+                            (attempt_chunk // 2 // n_dev) * n_dev, floor)
+                        warnings.warn(
+                            "render kernel failed to compile at "
+                            f"chunk={attempt_chunk} "
+                            f"({msg.splitlines()[0][:120]}); retrying at "
+                            f"chunk={new_chunk}", stacklevel=2)
+                        self.chunk = new_chunk
 
-    def _run_chunks_once(self, kernel, tops, bots, sun, t4, extra_keys):
+    def _run_chunks_once(self, kernel, tops, bots, sun, t4, extra_keys,
+                         chunk=None):
         n = tops.shape[0]
-        c = self.chunk
+        c = self.chunk if chunk is None else chunk
         device_outs = []      # keep results on device; one fetch at the end
         pads = []             # so chunk dispatches pipeline instead of
         for s in range(0, n, c):   # paying a host round-trip per chunk

@@ -25,7 +25,88 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+import contextlib  # noqa: E402
+
 import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+# Top-level module names belonging to the reference tree, plus the dep names
+# tests stub out to import it.  Only these are restored by the sandbox —
+# a blanket sys.modules restore would evict and force re-import of live
+# jax-backed modules (season_nerf_tpu.*), which segfaults CPython.
+_REF_SANDBOX_TOPLEVEL = {
+    "T_NeRF_Full_2", "T_NeRF_Eval_Utils", "pre_NeRF", "all_NeRF",
+    "NN_loaders", "Space_Carving", "Generate_Summary_Images", "misc",
+    "opt", "opt2", "main", "main_lite", "mg_pre_NeRF", "mg_run_NeRF",
+    "mg_Pt_holder", "mg_get_DSM",
+    # stubbed heavy deps
+    "gdal", "sewar", "image_similarity_measures", "maxflow", "hsluv",
+    "rpcm", "astropy", "robust_loss_pytorch", "tensorboard", "pyfftw",
+}
+_REF_SANDBOX_EXACT = {"scipy.spatial.kdtree"}
+
+
+def _ref_sandboxed(key):
+    return (key.split(".")[0] in _REF_SANDBOX_TOPLEVEL
+            or key in _REF_SANDBOX_EXACT or key.startswith("ref_"))
+
+
+@contextlib.contextmanager
+def reference_import_sandbox():
+    """Restore reference-related sys.modules entries (and sys.path) after
+    reference imports.
+
+    Tests that import the reference's code stub heavy deps into sys.modules
+    (gdal, hsluv, …) and sometimes install bare package shells.  Left in
+    place, those stubs poison LATER reference imports in the same process —
+    the round-4 regression where the protocol-metrics fixture's bare
+    `T_NeRF_Eval_Utils` shell made all 8 torch-parity tests skip in the
+    full-suite run ("cannot import name 'load_t_nerf'").  Every reference-
+    importing fixture/test must run inside this sandbox.
+    """
+    mod_snapshot = {k: v for k, v in sys.modules.items() if _ref_sandboxed(k)}
+    path_snapshot = list(sys.path)
+    try:
+        yield
+    finally:
+        for k in [k for k in sys.modules if _ref_sandboxed(k)]:
+            if k not in mod_snapshot:
+                del sys.modules[k]
+            elif sys.modules[k] is not mod_snapshot[k]:
+                sys.modules[k] = mod_snapshot[k]
+        sys.path[:] = path_snapshot
+
+
+# ---- zero-skip guard for reference-oracle tests --------------------------
+# On this host the reference tree and its import deps are available, so the
+# oracle tests (torch parity, protocol metrics, reference-ckpt tools) are
+# all runnable: a skip is a harness bug, not an environment limitation.
+# Round 4 proved silent skips are invisible — make them fail the suite.
+ORACLE_TEST_FILES = ("test_torch_parity.py", "test_reference_protocol_metrics.py",
+                     "test_tools_cli.py")
+_oracle_skips = []
+
+
+def pytest_runtest_logreport(report):
+    if report.skipped and any(f in report.nodeid for f in ORACLE_TEST_FILES):
+        reason = ""
+        if isinstance(report.longrepr, tuple):
+            reason = report.longrepr[2]
+        _oracle_skips.append(f"{report.nodeid}: {reason}")
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if (_oracle_skips and os.path.isdir(REFERENCE_DIR)
+            and not os.environ.get("SEASON_NERF_ALLOW_ORACLE_SKIPS")):
+        tr = session.config.pluginmanager.get_plugin("terminalreporter")
+        msg = ("reference-oracle tests skipped although /root/reference is "
+               "present — this host can run them all (see tests/conftest.py):")
+        lines = [msg] + [f"  {s}" for s in _oracle_skips]
+        if tr is not None:
+            tr.write_line("\nERROR: " + "\n".join(lines), red=True)
+        session.exitstatus = 1
 
 
 @pytest.fixture(scope="session")

@@ -22,23 +22,29 @@ REF = "/root/reference"
 @pytest.fixture(scope="module")
 def ref_eval_funcs():
     """Load the reference's Eval_funcs.py standalone (stubbing the package
-    chain the way tests/test_torch_parity.py stubs model-side imports)."""
+    chain the way tests/test_torch_parity.py stubs model-side imports).
+
+    The stubs live only inside the conftest sandbox: leaking the bare
+    `T_NeRF_Eval_Utils` shell into sys.modules was the round-4 regression
+    that silently skipped every torch-parity test in full-suite runs."""
+    from tests.conftest import reference_import_sandbox
     np.NaN = np.nan          # reference pins numpy<2
-    sys.modules.setdefault("hsluv", types.ModuleType("hsluv"))
-    pkg = types.ModuleType("T_NeRF_Eval_Utils")
-    pkg.__path__ = [f"{REF}/T_NeRF_Eval_Utils"]
-    sys.modules.setdefault("T_NeRF_Eval_Utils", pkg)
-    pre = types.ModuleType("pre_NeRF")
-    pre.P_img = object
-    sys.modules.setdefault("pre_NeRF", pre)
-    spec = importlib.util.spec_from_file_location(
-        "ref_eval_funcs_solo", f"{REF}/T_NeRF_Eval_Utils/Eval_funcs.py")
-    mod = importlib.util.module_from_spec(spec)
-    try:
-        spec.loader.exec_module(mod)
-    except Exception as e:       # torch/scipy mismatch etc.
-        pytest.skip(f"reference Eval_funcs not importable: {e}")
-    return mod
+    with reference_import_sandbox():
+        sys.modules.setdefault("hsluv", types.ModuleType("hsluv"))
+        pkg = types.ModuleType("T_NeRF_Eval_Utils")
+        pkg.__path__ = [f"{REF}/T_NeRF_Eval_Utils"]
+        sys.modules.setdefault("T_NeRF_Eval_Utils", pkg)
+        pre = types.ModuleType("pre_NeRF")
+        pre.P_img = object
+        sys.modules.setdefault("pre_NeRF", pre)
+        spec = importlib.util.spec_from_file_location(
+            "ref_eval_funcs_solo", f"{REF}/T_NeRF_Eval_Utils/Eval_funcs.py")
+        mod = importlib.util.module_from_spec(spec)
+        try:
+            spec.loader.exec_module(mod)
+        except Exception as e:       # torch/scipy mismatch etc.
+            pytest.skip(f"reference Eval_funcs not importable: {e}")
+        yield mod
 
 
 def _textured_pair(seed=0, size=48, noise=0.15):
@@ -95,25 +101,27 @@ def test_lab_em_matches_reference_mg_em():
     """End-to-end EM protocol vs the reference's mg_EM + cv.EMD: LAB
     signatures, bin size 12.5, merge + prune, L1 ground distance."""
     cv2 = pytest.importorskip("cv2")
+    from tests.conftest import reference_import_sandbox
     np.NaN = np.nan
-    for name in ("hsluv", "pyfftw"):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    if "scipy.spatial.kdtree" not in sys.modules:
-        import scipy.spatial
-        legacy = types.ModuleType("scipy.spatial.kdtree")
-        legacy.KDTree = scipy.spatial.KDTree
-        sys.modules["scipy.spatial.kdtree"] = legacy
-    spec = importlib.util.spec_from_file_location(
-        "ref_mg_em_solo", f"{REF}/all_NeRF/mg_EM_Imgs.py")
-    mod = importlib.util.module_from_spec(spec)
-    try:
-        spec.loader.exec_module(mod)
-    except Exception as e:
-        pytest.skip(f"reference mg_EM_Imgs not importable: {e}")
+    with reference_import_sandbox():
+        for name in ("hsluv", "pyfftw"):
+            sys.modules.setdefault(name, types.ModuleType(name))
+        if "scipy.spatial.kdtree" not in sys.modules:
+            import scipy.spatial
+            legacy = types.ModuleType("scipy.spatial.kdtree")
+            legacy.KDTree = scipy.spatial.KDTree
+            sys.modules["scipy.spatial.kdtree"] = legacy
+        spec = importlib.util.spec_from_file_location(
+            "ref_mg_em_solo", f"{REF}/all_NeRF/mg_EM_Imgs.py")
+        mod = importlib.util.module_from_spec(spec)
+        try:
+            spec.loader.exec_module(mod)
+        except Exception as e:
+            pytest.skip(f"reference mg_EM_Imgs not importable: {e}")
 
-    a, b = _textured_pair(3, size=40, noise=0.0)[0], \
-        _textured_pair(4, size=40, noise=0.0)[1]
-    ref_em, _, _ = mod.compare_EM_imgs(mod.mg_EM(a), mod.mg_EM(b))
+        a, b = _textured_pair(3, size=40, noise=0.0)[0], \
+            _textured_pair(4, size=40, noise=0.0)[1]
+        ref_em, _, _ = mod.compare_EM_imgs(mod.mg_EM(a), mod.mg_EM(b))
 
     from season_nerf_tpu.eval.emd import compare_em_imgs
     ours = compare_em_imgs(a, b)     # space="lab" default

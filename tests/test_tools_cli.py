@@ -36,33 +36,35 @@ def ref_state_dict_file(tmp_path_factory):
     """A genuine reference-architecture state_dict saved the way the
     reference saves Final_Model.nn (torch.save)."""
     torch = pytest.importorskip("torch")
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    import types
+    from tests.conftest import reference_import_sandbox
+    with reference_import_sandbox():
+        if REF not in sys.path:
+            sys.path.insert(0, REF)
+        import types
 
-    class _Stub(types.ModuleType):
-        def __getattr__(self, name):
-            if name.startswith("__"):
-                raise AttributeError(name)
-            return type(name, (), {})
+        class _Stub(types.ModuleType):
+            def __getattr__(self, name):
+                if name.startswith("__"):
+                    raise AttributeError(name)
+                return type(name, (), {})
 
-    for name in ("gdal", "sewar", "sewar.full_ref",
-                 "image_similarity_measures",
-                 "image_similarity_measures.quality_metrics",
-                 "maxflow", "maxflow.fastmin", "hsluv", "rpcm", "astropy",
-                 "astropy.coordinates", "astropy.time", "astropy.units",
-                 "robust_loss_pytorch", "tensorboard", "pyfftw"):
-        sys.modules.setdefault(name, _Stub(name))
-    try:
-        from T_NeRF_Full_2.T_NeRF_net_v2 import T_NeRF as RefTNeRF
-    except Exception as e:
-        pytest.skip(f"reference model not importable: {e}")
-    torch.manual_seed(3)
-    net = RefTNeRF(64, n_classes=4)
-    net.eval()
-    path = tmp_path_factory.mktemp("refckpt") / "Final_Model.nn"
-    torch.save(net.state_dict(), str(path))
-    return torch, net, str(path)
+        for name in ("gdal", "sewar", "sewar.full_ref",
+                     "image_similarity_measures",
+                     "image_similarity_measures.quality_metrics",
+                     "maxflow", "maxflow.fastmin", "hsluv", "rpcm", "astropy",
+                     "astropy.coordinates", "astropy.time", "astropy.units",
+                     "robust_loss_pytorch", "tensorboard", "pyfftw"):
+            sys.modules.setdefault(name, _Stub(name))
+        try:
+            from T_NeRF_Full_2.T_NeRF_net_v2 import T_NeRF as RefTNeRF
+        except Exception as e:
+            pytest.skip(f"reference model not importable: {e}")
+        torch.manual_seed(3)
+        net = RefTNeRF(64, n_classes=4)
+        net.eval()
+        path = tmp_path_factory.mktemp("refckpt") / "Final_Model.nn"
+        torch.save(net.state_dict(), str(path))
+        yield torch, net, str(path)
 
 
 def test_convert_reference_model_cli(ref_state_dict_file, tmp_path):

@@ -16,33 +16,35 @@ REF = "/root/reference"
 @pytest.fixture(scope="module")
 def ref_model():
     torch = pytest.importorskip("torch")
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    # the reference packages import heavy geo/metric deps at package-init
-    # time; the model itself never touches them — stub them out
-    import types
+    from tests.conftest import reference_import_sandbox
+    with reference_import_sandbox():
+        if REF not in sys.path:
+            sys.path.insert(0, REF)
+        # the reference packages import heavy geo/metric deps at package-init
+        # time; the model itself never touches them — stub them out
+        import types
 
-    class _Stub(types.ModuleType):
-        def __getattr__(self, name):            # any attribute resolves
-            if name.startswith("__"):           # keep module introspection sane
-                raise AttributeError(name)
-            return type(name, (), {})
+        class _Stub(types.ModuleType):
+            def __getattr__(self, name):        # any attribute resolves
+                if name.startswith("__"):       # keep module introspection sane
+                    raise AttributeError(name)
+                return type(name, (), {})
 
-    for name in ("gdal", "sewar", "sewar.full_ref",
-                 "image_similarity_measures",
-                 "image_similarity_measures.quality_metrics",
-                 "maxflow", "maxflow.fastmin", "hsluv", "rpcm", "astropy",
-                 "astropy.coordinates", "astropy.time", "astropy.units",
-                 "robust_loss_pytorch", "tensorboard", "pyfftw"):
-        sys.modules.setdefault(name, _Stub(name))
-    try:
-        from T_NeRF_Full_2.T_NeRF_net_v2 import T_NeRF as RefTNeRF
-    except Exception as e:
-        pytest.skip(f"reference model not importable: {e}")
-    torch.manual_seed(0)
-    net = RefTNeRF(64, n_classes=4)
-    net.eval()
-    return torch, net
+        for name in ("gdal", "sewar", "sewar.full_ref",
+                     "image_similarity_measures",
+                     "image_similarity_measures.quality_metrics",
+                     "maxflow", "maxflow.fastmin", "hsluv", "rpcm", "astropy",
+                     "astropy.coordinates", "astropy.time", "astropy.units",
+                     "robust_loss_pytorch", "tensorboard", "pyfftw"):
+            sys.modules.setdefault(name, _Stub(name))
+        try:
+            from T_NeRF_Full_2.T_NeRF_net_v2 import T_NeRF as RefTNeRF
+        except Exception as e:
+            pytest.skip(f"reference model not importable: {e}")
+        torch.manual_seed(0)
+        net = RefTNeRF(64, n_classes=4)
+        net.eval()
+        yield torch, net
 
 
 @pytest.fixture(scope="module")

@@ -83,6 +83,26 @@ def load_ckpt_variables(path, template):
     return variables
 
 
+def compute_bands(curve, bands):
+    """Minutes-to-band under BOTH alignment conventions.
+
+    The paper's 1.2-1.5 m DSM band (Season-NeRF paper table 1) is quoted
+    after the reference's own alignment search, so `_aligned` is the
+    convention the band claim must use; `_raw` (before alignment) is the
+    harsher number comparable across harnesses without an alignment
+    convention.  Both are reported so README/QUALITY tables can cite one
+    column without contradicting this artifact (VERDICT r4 weak #2)."""
+    out = {}
+    for band in bands:
+        for col, tag in (("dsm_mae_m", "raw"),
+                         ("dsm_mae_aligned_m", "aligned")):
+            hit = next((r for r in curve if r.get(col) is not None
+                        and r[col] <= band), None)
+            out[f"minutes_to_dsm_mae_{band}m_{tag}"] = (
+                hit["wall_minutes"] if hit else None)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("run_dir")
@@ -96,7 +116,21 @@ def main():
                         "thinned, endpoints kept)")
     p.add_argument("--bands", type=float, nargs="*", default=[1.5, 1.3],
                    help="DSM-MAE bands (meters) to report minutes-to")
+    p.add_argument("--from_json", action="store_true",
+                   help="treat RUN_DIR as an existing curve JSON and only "
+                        "recompute the bands block (no device work)")
     args = p.parse_args()
+
+    if args.from_json:
+        with open(args.run_dir) as f:
+            report = json.load(f)
+        report["bands"] = compute_bands(report["curve"], args.bands)
+        out = args.output or args.run_dir
+        with open(out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"[ttq] bands: {report['bands']}")
+        print(f"[ttq] rewrote {out}")
+        return
 
     from season_nerf_tpu.render.loading import load_model_dir
     from season_nerf_tpu.data.synthetic import make_scene
@@ -158,11 +192,7 @@ def main():
               f"PSNR {row['aligned_psnr']:6.2f}  "
               f"MAE {row['dsm_mae_m']:5.2f} m")
 
-    bands = {}
-    for band in args.bands:
-        hit = next((r for r in curve if r["dsm_mae_m"] <= band), None)
-        bands[f"minutes_to_dsm_mae_{band}m"] = (
-            hit["wall_minutes"] if hit else None)
+    bands = compute_bands(curve, args.bands)
     report = {"run_dir": os.path.abspath(args.run_dir),
               "protocol": {"size": args.size, "samples": args.samples,
                            "hm_grid": args.hm_grid,

@@ -85,7 +85,9 @@ def main():
     cfg = Config(max_train_steps=50_000, n_samples=96, batch_size=batch,
                  fc_units=512, n_saves=0, logs_dir="", jump_start=True,
                  remat_trunk=remat, compute_dtype=dtype,
-                 fast_sine=os.environ.get("BENCH_FAST_SIN", "1") == "1")
+                 fast_sine=os.environ.get("BENCH_FAST_SIN", "1") == "1",
+                 # VMEM-resident fused trunk (ghost BN; ops/pallas_train.py)
+                 pallas_trunk=os.environ.get("BENCH_PALLAS", "0") == "1")
     # persistent XLA compile cache: repeat benches skip the (remote,
     # multi-minute, occasionally flaky) compile of the fused train step
     cfg.enable_compile_cache()

@@ -126,7 +126,16 @@ class Config:
     #                                    full-budget runs show geometry peaks
     #                                    mid-training (docs/QUALITY_r3.md),
     #                                    worth ~0.3 m DSM MAE from the same
-    #                                    run.
+    #                                    run.  "best_geometry_on_decay" =
+    #                                    keep the last-step weights unless
+    #                                    the run's own prior-MAE signal
+    #                                    drifted > geometry_decay_threshold
+    #                                    above its minimum (hard-site
+    #                                    insurance that leaves healthy runs
+    #                                    on the reference protocol).
+    geometry_decay_threshold: float = 0.10  # relative prior-MAE drift that
+    #                                    triggers the best_geometry_on_decay
+    #                                    fallback (last vs best save point)
     phase4_prior_keepalive: float = 0.0  # beyond-reference, opt-in: keep a
     #                                    LINEARLY-DECAYING DSM-prior
     #                                    Alpha_Adjust MSE alive through phase
@@ -142,6 +151,34 @@ class Config:
     #                                    progress), reaching exactly 0 at the
     #                                    final step.  0.0 = reference
     #                                    protocol (off).
+    phase4_keepalive_barron: bool = False  # keepalive variant: replace the
+    #                                    round-4 MSE keepalive (measured and
+    #                                    rejected — it cannot down-weight
+    #                                    the prior's own noise) with the
+    #                                    same Barron adaptive alpha loss the
+    #                                    prior phase trains (Net_Tool_2.py:
+    #                                    85): learned alpha/scale discount
+    #                                    prior outliers.  Only meaningful
+    #                                    with phase4_prior_keepalive > 0 and
+    #                                    the adaptive (non-MSE) loss.
+    pallas_trunk: bool = False         # run the training trunk (fc1..fc9 +
+    #                                    sigma/color heads) through the
+    #                                    VMEM-resident fused Pallas kernel
+    #                                    (ops/pallas_train.py): weights stay
+    #                                    on-chip across the batch, backward
+    #                                    recomputes the forward tile-by-tile,
+    #                                    HBM sees only inputs/outputs/weight
+    #                                    grads.  Arithmetic change: BatchNorm
+    #                                    becomes GHOST batch norm (per-2048-
+    #                                    row-tile statistics) and backward
+    #                                    matmuls consume bf16 gradients —
+    #                                    qualified by a full-budget quality
+    #                                    A/B (docs/QUALITY_r5.md) before any
+    #                                    default flip.  Requires
+    #                                    compute_dtype=bfloat16 and
+    #                                    batch_size*n_samples % 2048 == 0;
+    #                                    unsupported configs fall back to the
+    #                                    XLA path with a warning.
     fast_sine: bool = True             # polynomial sin activation (exact to
     #                                    f32 on the SIREN pre-activation
     #                                    range; ops/fast_math.py).  The
@@ -216,7 +253,7 @@ class Config:
         "number_low_frequency_cases", "n_samples", "n_importance",
         "use_HSLuv", "Use_MSE_loss", "Use_Solar", "Solar_Type_2",
         "sc_lambda", "ds_lambda", "p_lambda", "lr", "lr_alpha_scale",
-        "phase4_prior_keepalive",
+        "phase4_prior_keepalive", "phase4_keepalive_barron", "pallas_trunk",
         "batch_size", "n_saves", "jump_start", "DSM_Mode",
         "weight_training_samples", "img_training_downscale",
         "img_validation_downscale", "testing_size", "site_name",

@@ -519,9 +519,88 @@ def batch_stats_updates(variables, spec: TrunkSpec, stats_sums, n_tiles):
     return {"batch_stats": bs}
 
 
+def _resolve_interpret(interpret):
+    """None -> interpret mode off TPU (CPU tests / virtual meshes)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def spec_for_model(model, n_points: int, tile: int = 2048,
+                   grad_dtype: str = "bfloat16"):
+    """TrunkSpec for a TNeRF instance, or (None, reason) when the fused
+    training path cannot represent it.
+
+    The kernel supports exactly the reference architecture family: extended
+    10-frequency pose PE (63 -> 64 padded), BatchNorm'd SIREN trunk with the
+    mid-trunk skip concat, bf16 activations.  Anything else (ablation
+    configs, f32 mode) falls back to the XLA path — loudly, from the engine.
+    """
+    lw = model.layer_width
+    if model.n_layers != 8:
+        # pack_params_jnp addresses the last trunk layer as fc{n+1}, which
+        # only matches the flax module's fixed "fc9" at the reference depth
+        return None, "pallas_trunk requires the reference trunk depth (8)"
+    if model.pe_pose != 10 or not model.extended:
+        return None, "pallas_trunk requires the 10-freq extended pose PE"
+    if not model.use_norm:
+        return None, "pallas_trunk requires the BatchNorm trunk (use_norm)"
+    if model.dtype != jnp.bfloat16:
+        return None, "pallas_trunk requires compute_dtype=bfloat16"
+    if lw % 128 != 0 or (lw // 2) % 128 != 0:
+        return None, f"pallas_trunk requires 128-multiple widths (got {lw})"
+    if n_points % tile != 0:
+        return None, (f"batch points {n_points} not divisible by the ghost "
+                      f"tile {tile} (batch_size * n_samples must be a "
+                      f"multiple of {tile})")
+    spec = TrunkSpec(widths=(lw,) * model.n_layers + (lw // 2,),
+                     skip_idx=model.n_layers // 2, tile=tile,
+                     fast_sine=model.fast_sine, grad_dtype=grad_dtype)
+    return spec, None
+
+
+def fused_forward_solar(model, variables, spec: TrunkSpec, flat,
+                        sun_pe_f, sky_raw_f, train=True, mutable=False,
+                        interpret=None):
+    """forward_solar-equivalent using the forward-only trunk kernel.
+
+    The solar pass blocks gradients into the trunk (the reference wraps it
+    in t.no_grad, G_NeRF.py:135-145), so no backward kernel is needed: the
+    packed parameters and both kernel outputs are stop_gradient'd, and only
+    the XLA solar branch (which consumes x_enc) carries gradients.  Returns
+    (out_dict, updates) with the keys ops/rendering.eval_rho_only expects.
+    """
+    assert train, "fused_forward_solar is the training path (eval uses XLA)"
+    interpret = _resolve_interpret(interpret)
+    sg = jax.lax.stop_gradient
+    n = flat.shape[0]
+    packed = [sg(p) for p in
+              pack_params_jnp(variables["params"]["gnerf"], spec)]
+    pe = encode_pe(sg(flat))
+    xenc, heads, stats_sums = trunk_fwd(spec, (pe,) + tuple(packed),
+                                        interpret)
+    xenc, heads = sg(xenc), sg(heads)
+
+    def branch(m, x_enc, spe, skr):
+        return m.gnerf.solar(x_enc, None, train, sun_pe=spe, sky_raw=skr)
+
+    vis_raw, sky_raw = model.apply(variables, xenc, sun_pe_f, sky_raw_f,
+                                   method=branch)
+    out = {
+        "rho": jax.nn.softplus(heads[:, 0:1]),
+        "vis": jax.nn.sigmoid(vis_raw),
+        "sky_raw": sky_raw,
+    }
+    updates = None
+    if mutable:
+        updates = batch_stats_updates(variables, spec, sg(stats_sums),
+                                      n // spec.tile)
+    return out, updates
+
+
 def fused_forward(model, variables, spec: TrunkSpec, flat, probs_f,
                   sun_pe_f, sky_raw_f, train=True, mutable=False,
-                  interpret=False):
+                  interpret=None):
     """TNeRF.__call__-equivalent forward using the Pallas trunk megakernel.
 
     Trunk fc1..fc9 + sigma/color heads run in the fused kernel (ghost BN);
@@ -529,6 +608,7 @@ def fused_forward(model, variables, spec: TrunkSpec, flat, probs_f,
     XLA reading the kernel's x_enc.  Returns (out_dict, updates) with the
     same keys as ops/rendering.eval_rays expects."""
     assert train, "fused_forward is the training path (eval uses XLA)"
+    interpret = _resolve_interpret(interpret)
     n = flat.shape[0]
     packed = pack_params_jnp(variables["params"]["gnerf"], spec)
     pe = encode_pe(flat)

@@ -81,7 +81,7 @@ def _remat_policy(remat):
 def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
               n_samples, n_importance=0, train=False, classic_solar=False,
               prior_hm=None, model_trust=1.0, mutable=False, remat=False,
-              mask_out_of_cube=False):
+              mask_out_of_cube=False, pallas_spec=None):
     """Render a batch of rays: the All_in_One_Eval.eval equivalent.
 
     model/variables: TNeRF flax module + its variables.
@@ -130,19 +130,29 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
         a[:, None, :], (R, S, a.shape[-1])).reshape(-1, a.shape[-1])
     probs_f, sun_pe_f, sky_raw_f = bcast(probs_r), bcast(sun_pe_r), bcast(sky_raw_r)
 
-    def net(v, f, p_, spe_, skr_):
-        kw = dict(probs=p_, sun_pe=spe_, sky_raw=skr_, train=train)
-        if mutable:
-            return model.apply(v, f, None, None, mutable=["batch_stats"], **kw)
-        return model.apply(v, f, None, None, **kw), None
+    if pallas_spec is not None and train:
+        # VMEM-resident fused trunk (fwd+bwd in two pallas_calls, ghost
+        # BatchNorm) — the byte-reduction lever docs/ROOFLINE_r4.md names;
+        # the engine qualifies it (quality A/B) before making it a default
+        from season_nerf_tpu.ops import pallas_train as _pt
+        out, updates = _pt.fused_forward(
+            model, variables, pallas_spec, flat, probs_f, sun_pe_f,
+            sky_raw_f, train=True, mutable=mutable)
+    else:
+        def net(v, f, p_, spe_, skr_):
+            kw = dict(probs=p_, sun_pe=spe_, sky_raw=skr_, train=train)
+            if mutable:
+                return model.apply(v, f, None, None,
+                                   mutable=["batch_stats"], **kw)
+            return model.apply(v, f, None, None, **kw), None
 
-    if remat:
-        # rematerialize the network block in the backward pass: its
-        # activations (N x width x depth) stop coexisting with the solar
-        # pass's, halving peak HBM and shrinking the fused backward kernel
-        # past the register-allocator ceiling at large batches
-        net = jax.checkpoint(net, policy=_remat_policy(remat))
-    out, updates = net(variables, flat, probs_f, sun_pe_f, sky_raw_f)
+        if remat:
+            # rematerialize the network block in the backward pass: its
+            # activations (N x width x depth) stop coexisting with the solar
+            # pass's, halving peak HBM and shrinking the fused backward
+            # kernel past the register-allocator ceiling at large batches
+            net = jax.checkpoint(net, policy=_remat_policy(remat))
+        out, updates = net(variables, flat, probs_f, sun_pe_f, sky_raw_f)
 
     rho = out["rho"].reshape(R, S, 1)
     col = out["col"].reshape(R, S, -1)
@@ -195,7 +205,7 @@ def eval_rays(model, variables, rng, tops, bots, sun, t4, *,
 
 def eval_rho_only(model, variables, rng, tops, bots, sun, t4, *,
                   n_samples, train=False, prior_hm=None, model_trust=1.0,
-                  mutable=False, remat=False):
+                  mutable=False, remat=False, pallas_spec=None):
     """Density+solar-visibility along rays (the solar-correction pass,
     Eval_Tools_2.py:297-337).  Gradients are blocked from the trunk by the
     module's forward_solar.  Returns (results, updates)."""
@@ -210,16 +220,22 @@ def eval_rho_only(model, variables, rng, tops, bots, sun, t4, *,
         a[:, None, :], (R, S, a.shape[-1])).reshape(-1, a.shape[-1])
     sun_pe_f, sky_raw_f = bcast(sun_pe_r), bcast(sky_raw_r)
 
-    def net(v, f, spe_, skr_):
-        kw = dict(sun_pe=spe_, sky_raw=skr_, train=train,
-                  method="forward_solar")
-        if mutable:
-            return model.apply(v, f, None, mutable=["batch_stats"], **kw)
-        return model.apply(v, f, None, **kw), None
+    if pallas_spec is not None and train:
+        from season_nerf_tpu.ops import pallas_train as _pt
+        out, updates = _pt.fused_forward_solar(
+            model, variables, pallas_spec, flat, sun_pe_f, sky_raw_f,
+            train=True, mutable=mutable)
+    else:
+        def net(v, f, spe_, skr_):
+            kw = dict(sun_pe=spe_, sky_raw=skr_, train=train,
+                      method="forward_solar")
+            if mutable:
+                return model.apply(v, f, None, mutable=["batch_stats"], **kw)
+            return model.apply(v, f, None, **kw), None
 
-    if remat:
-        net = jax.checkpoint(net, policy=_remat_policy(remat))
-    out, updates = net(variables, flat, sun_pe_f, sky_raw_f)
+        if remat:
+            net = jax.checkpoint(net, policy=_remat_policy(remat))
+        out, updates = net(variables, flat, sun_pe_f, sky_raw_f)
 
     rho = out["rho"].reshape(R, S, 1)
     vis = out["vis"].reshape(R, S, 1)

@@ -159,6 +159,9 @@ class Trainer:
     def _statics_for(self, phase) -> LossStatics:
         cfg = self.cfg
         use_prior = phase.use_prior and self.prior_hm is not None
+        keepalive = (cfg.phase4_prior_keepalive
+                     if (not use_prior and self.prior_hm is not None
+                         and cfg.jump_start) else 0.0)
         color_cfg = alpha_cfg = None
         if not cfg.Use_MSE_loss:
             if phase.index == 1:
@@ -167,17 +170,42 @@ class Trainer:
                 color_cfg = _color_cfg(self._carry_alpha, self._carry_scale)
             if use_prior:
                 alpha_cfg = _alpha_cfg()
+            elif keepalive > 0 and cfg.phase4_keepalive_barron:
+                # Barron-adaptive keepalive: fresh alpha latents for the
+                # prior-off phase (same init as the phase-1 alpha loss)
+                alpha_cfg = _alpha_cfg()
+        pallas_spec = None
+        if cfg.pallas_trunk:
+            if cfg.n_importance > 0:
+                warnings.warn("pallas_trunk does not support hierarchical "
+                              "sampling (n_importance > 0) — falling back "
+                              "to the XLA trunk", stacklevel=2)
+            elif self.mesh is not None:
+                # the step is GSPMD-auto-sharded; a pallas_call inside it
+                # cannot be partitioned over the data axis without a
+                # shard_map rewrite of the step — single-chip only for now
+                warnings.warn("pallas_trunk is single-device only (the "
+                              "multi-chip step uses GSPMD auto-sharding, "
+                              "which cannot partition a pallas_call) — "
+                              "falling back to the XLA trunk", stacklevel=2)
+            else:
+                from season_nerf_tpu.ops import pallas_train
+                pallas_spec, why = pallas_train.spec_for_model(
+                    self.model, cfg.batch_size * cfg.n_samples)
+                if pallas_spec is None:
+                    warnings.warn(f"pallas_trunk requested but unsupported "
+                                  f"({why}) — falling back to the XLA "
+                                  f"trunk", stacklevel=2)
         return LossStatics(
             n_samples=cfg.n_samples, n_importance=cfg.n_importance,
             use_prior=use_prior,
             use_solar=cfg.Use_Solar, classic_solar=cfg.Solar_Type_2,
             use_mse_loss=cfg.Use_MSE_loss, sc_lambda=cfg.sc_lambda,
             phase_len=phase.end, color_cfg=color_cfg, alpha_cfg=alpha_cfg,
-            prior_keepalive=(cfg.phase4_prior_keepalive
-                             if (not use_prior and self.prior_hm is not None
-                                 and cfg.jump_start) else 0.0),
+            prior_keepalive=keepalive,
             phase_start=phase.start,
-            remat=cfg.remat_trunk)
+            remat=cfg.remat_trunk,
+            pallas_spec=pallas_spec)
 
     def _enter_phase(self, phase):
         """reset_eval equivalent (Net_Tool_2.py:63-131): fresh optimizers +
@@ -501,17 +529,35 @@ class Trainer:
             self.step
         meta = {"fc_units": cfg.fc_units,
                 "n_classes": cfg.number_low_frequency_cases}
-        if cfg.final_model_selection == "best_geometry":
+        mode = cfg.final_model_selection
+        if mode in ("best_geometry", "best_geometry_on_decay"):
             if not self._save_geometry:
                 warnings.warn(
-                    "final_model_selection='best_geometry' requested but no "
+                    f"final_model_selection={mode!r} requested but no "
                     "save-point geometry scores exist (needs a DSM prior, "
                     "and save_point_val_renders must not be 0); falling "
                     "back to the last-step weights")
             else:
                 best_step, best_mae = min(self._save_geometry,
                                           key=lambda sm: sm[1])
-                meta.update(selection="best_geometry",
+                if mode == "best_geometry_on_decay":
+                    # select-on-decay: keep the reference protocol (last
+                    # step) on healthy runs; fall back to the best-geometry
+                    # save point only when the run's own GT-free signal
+                    # says phase-4 appearance training decayed the density
+                    # field past the threshold (VERDICT r4 next #7b).
+                    last_mae = self._save_geometry[-1][1]
+                    drift = (last_mae - best_mae) / max(best_mae, 1e-9)
+                    meta.update(geometry_drift=float(drift),
+                                decay_threshold=cfg.geometry_decay_threshold)
+                    if drift <= cfg.geometry_decay_threshold:
+                        print(f"[finalize] best_geometry_on_decay: drift "
+                              f"{drift:.1%} <= threshold "
+                              f"{cfg.geometry_decay_threshold:.0%} — "
+                              f"keeping the last-step weights (reference "
+                              f"protocol)")
+                        best_step, best_mae = self.step, last_mae
+                meta.update(selection=mode,
                             selected_step=int(best_step),
                             prior_height_mae=float(best_mae))
                 if best_step != self.step and cfg.logs_dir:

@@ -59,6 +59,11 @@ class LossStatics(NamedTuple):
     phase_start: int = 0       # keepalive decay origin (phase start step)
     remat: str = ""            # rematerialize network blocks in backward:
     #                            "" off, "full", or "dots" (rendering._remat_policy)
+    pallas_spec: Optional[object] = None  # ops/pallas_train.TrunkSpec: run
+    #                            the training trunk through the VMEM-resident
+    #                            fused Pallas kernel (ghost BatchNorm); None
+    #                            = XLA path.  Training-only — eval calls
+    #                            (train=False) always take the XLA path.
 
 
 def make_solar_rays(rng, n, sun_frame=None):
@@ -118,7 +123,8 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
         train=train,
         classic_solar=s.classic_solar,
         prior_hm=prior_hm if s.use_prior else None,
-        model_trust=model_trust, mutable=mutable, remat=s.remat)
+        model_trust=model_trust, mutable=mutable, remat=s.remat,
+        pallas_spec=s.pallas_spec if train else None)
 
     losses: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
     sg = jax.lax.stop_gradient
@@ -141,7 +147,8 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
             model, vars_solar, k_solar_samp, tops_s, bots_s, sun_s, None,
             n_samples=s.n_samples, train=train,
             prior_hm=prior_hm if s.use_prior else None,
-            model_trust=model_trust, mutable=mutable, remat=s.remat)
+            model_trust=model_trust, mutable=mutable, remat=s.remat,
+            pallas_spec=s.pallas_spec if train else None)
         if updates2 is not None:
             updates = updates2
         vis_s = sol["vis"][..., 0]
@@ -222,10 +229,16 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
     # The reference cuts the DSM prior dead at the phase 1->4 boundary
     # (Net_Tool_2.py:23-45) and our full-budget runs show the geometry the
     # prior bought decaying for the rest of training (docs/QUALITY_r3.md).
-    # With ``prior_keepalive`` > 0 a plain Alpha_Adjust MSE stays alive in
-    # the prior-off phase, its weight decaying linearly to exactly 0 at the
+    # With ``prior_keepalive`` > 0 an Alpha_Adjust term stays alive in the
+    # prior-off phase, its weight decaying linearly to exactly 0 at the
     # final step — anchoring geometry early in phase 4 while still releasing
     # the density field for the appearance fine-tuning the phase exists for.
+    # Two variants (round-5 A/B, docs/QUALITY_r5.md):
+    #   MSE (round 4): rejected — cannot down-weight the prior's own noise,
+    #     so it trades seed-1 PSNR for seed-0 geometry;
+    #   Barron-adaptive (s.alpha_cfg set in the prior-off phase): the
+    #     learned alpha/scale can discount prior outliers exactly the way
+    #     the phase-1 alpha loss does (Net_Tool_2.py:85).
     if (not s.use_prior) and s.prior_keepalive > 0 and prior_hm is not None:
         from season_nerf_tpu.models.tnerf import supervised_sigma
         deltas = out["deltas"]
@@ -235,9 +248,19 @@ def season_nerf_loss(model, variables, ada_params, statics: LossStatics,
         _, pe_sup, _ = rendering.pv_pe_ps(rho_sup, deltas)
         span = max(s.phase_len - s.phase_start, 1)
         decay = jnp.clip((s.phase_len - step) / span, 0.0, 1.0)
-        losses["Alpha_Adjust"] = (
-            jnp.mean((out["pe"] - sg(pe_sup)) ** 2),
-            jnp.asarray(s.prior_keepalive) * decay)
+        w = jnp.asarray(s.prior_keepalive) * decay
+        if s.alpha_cfg is not None and not s.use_mse_loss:
+            a_cfg = s.alpha_cfg
+            alpha_diff = (out["pe"] - sg(pe_sup)).reshape(-1, 1)
+            losses["Alpha_Adjust_ada"] = (
+                jnp.mean(robust_loss.adaptive_nll(
+                    ada_params["alpha"], a_cfg, alpha_diff)), w)
+            losses["Alpha_Adjust"] = (
+                sg(jnp.mean((out["pe"] - sg(pe_sup)) ** 2)),
+                jnp.asarray(1.0))
+        else:
+            losses["Alpha_Adjust"] = (
+                jnp.mean((out["pe"] - sg(pe_sup)) ** 2), w)
 
     total = jnp.asarray(0.0)
     for v, w in losses.values():

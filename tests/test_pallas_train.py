@@ -124,3 +124,147 @@ def test_head_grad_unpack_shapes():
     dws, dbs, dwc, dbc = pt.unpack_head_grads(d_wh, d_bh)
     assert dws.shape == (spec.enc_width, 1) and dbs.shape == (1,)
     assert dwc.shape == (spec.enc_width, 3) and dbc.shape == (3,)
+
+
+# --------------------------------------------------------------------------
+# production integration: fused_forward / fused_forward_solar / loss wiring
+# --------------------------------------------------------------------------
+
+def _tiny_tnerf():
+    """Smallest TNeRF spec_for_model accepts (reference depth, 128-multiple
+    widths, bf16, extended 10-freq PE)."""
+    import jax.numpy as jnp
+    from season_nerf_tpu.models.tnerf import TNeRF
+    model = TNeRF(layer_width=256, n_layers=8, dtype=jnp.bfloat16,
+                  fast_sine=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                           jnp.zeros((2, 3)), jnp.zeros((2, 4)), train=False)
+    return model, variables
+
+
+def test_spec_for_model_guards():
+    model, _ = _tiny_tnerf()
+    spec, why = pt.spec_for_model(model, 64, tile=32)
+    assert spec is not None and why is None
+    assert spec.widths == (256,) * 8 + (128,)
+    assert spec.skip_idx == 4 and spec.fast_sine
+    # indivisible batch
+    spec2, why2 = pt.spec_for_model(model, 63, tile=32)
+    assert spec2 is None and "divisible" in why2
+    # f32 model unsupported
+    from season_nerf_tpu.models.tnerf import TNeRF
+    spec3, why3 = pt.spec_for_model(
+        TNeRF(layer_width=256, n_layers=8, dtype=None), 64, tile=32)
+    assert spec3 is None and "bfloat16" in why3
+
+
+def test_fused_forward_matches_ghost_oracle():
+    """fused_forward == trunk_train_reference composed with the XLA
+    branches (same ghost-BN semantics, interpret-mode kernel)."""
+    model, variables = _tiny_tnerf()
+    spec, _ = pt.spec_for_model(model, 64, tile=32)
+    rng = np.random.default_rng(7)
+    flat = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    sun = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    t4 = jnp.asarray(rng.uniform(-1, 1, (64, 4)), jnp.float32)
+    probs, sun_pe, sky_raw = model.apply(variables, sun, t4, train=True,
+                                         method="ray_consts")
+    out, updates = pt.fused_forward(model, variables, spec, flat, probs,
+                                    sun_pe, sky_raw, train=True,
+                                    mutable=True, interpret=True)
+    # oracle: ghost trunk in plain jnp + the same XLA branches
+    packed = pt.pack_params(variables, spec)
+    xenc_r, heads_r, _ = pt.trunk_train_reference(
+        spec, pt.encode_pe(flat), packed)
+
+    def branches(m, x_enc, spe, skr):
+        vis_raw, sky_o = m.gnerf.solar(x_enc, None, True, sun_pe=spe,
+                                       sky_raw=skr)
+        return vis_raw, sky_o, m.adjust_from_enc(x_enc, True)
+
+    vis_raw_r, sky_raw_r, adj_r = model.apply(variables, xenc_r, sun_pe,
+                                              sky_raw, method=branches)
+    adjust_r = jnp.sum(adj_r * probs[:, :, None], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(out["rho"]),
+        np.asarray(jax.nn.softplus(heads_r[:, 0:1])), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out["col"]),
+        np.asarray(jax.nn.sigmoid(heads_r[:, 1:4] + adjust_r)), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out["vis"]),
+                               np.asarray(jax.nn.sigmoid(vis_raw_r)),
+                               atol=2e-2)
+    assert updates is not None and "batch_stats" in updates
+    # running stats moved off the init values
+    old = variables["batch_stats"]["gnerf"]["fc2"]["norm"]["mean"]
+    new = updates["batch_stats"]["gnerf"]["fc2"]["norm"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_fused_solar_blocks_trunk_grads():
+    """The fused solar pass must match forward_solar's gradient contract:
+    zero grads into the trunk, live grads into the solar branch."""
+    model, variables = _tiny_tnerf()
+    spec, _ = pt.spec_for_model(model, 64, tile=32)
+    rng = np.random.default_rng(8)
+    flat = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    sun = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    probs, sun_pe, sky_raw = model.apply(variables, sun, None, train=True,
+                                         method="ray_consts")
+
+    def loss(params):
+        v = {**variables, "params": params}
+        out, _ = pt.fused_forward_solar(model, v, spec, flat, sun_pe,
+                                        sky_raw, train=True, mutable=False,
+                                        interpret=True)
+        return jnp.sum(out["vis"] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    trunk_g = np.abs(np.asarray(
+        g["gnerf"]["fc3"]["linear"]["kernel"], np.float32)).max()
+    solar_g = np.abs(np.asarray(
+        g["gnerf"]["fc_solar_2"]["linear"]["kernel"], np.float32)).max()
+    assert trunk_g == 0.0
+    assert solar_g > 0.0
+
+
+def test_loss_with_pallas_spec_end_to_end():
+    """season_nerf_loss with a pallas_spec: finite loss, live trunk +
+    solar-branch gradients, batch-stats updates — the full training
+    contract of the fused path at one tile."""
+    from season_nerf_tpu.train.losses import LossStatics, season_nerf_loss
+    model, variables = _tiny_tnerf()
+    R, S = 8, 8                                    # 64 points = 2 tiles of 32
+    spec, why = pt.spec_for_model(model, R * S, tile=32)
+    assert spec is not None, why
+    statics = LossStatics(
+        n_samples=S, n_importance=0, use_prior=False, use_solar=True,
+        classic_solar=False, use_mse_loss=True, sc_lambda=0.03,
+        phase_len=100, pallas_spec=spec)
+    rng = np.random.default_rng(9)
+    batch = {
+        "top": jnp.asarray(rng.uniform(-1, 1, (R, 3)), jnp.float32),
+        "bot": jnp.asarray(rng.uniform(-1, 1, (R, 3)), jnp.float32),
+        "sun": jnp.asarray(rng.uniform(-1, 1, (R, 3)), jnp.float32),
+        "t4": jnp.asarray(rng.uniform(-1, 1, (R, 4)), jnp.float32),
+        "gt_rgb": jnp.asarray(rng.uniform(0, 1, (R, 3)), jnp.float32),
+    }
+
+    def loss_fn(params):
+        v = {**variables, "params": params}
+        total, (losses, updates) = season_nerf_loss(
+            model, v, {}, statics, batch, jax.random.PRNGKey(1),
+            jnp.asarray(5), train=True, mutable=True)
+        return total, (losses, updates)
+
+    (total, (losses, updates)), g = jax.value_and_grad(
+        loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(total))
+    assert updates is not None and "batch_stats" in updates
+    trunk_g = np.abs(np.asarray(
+        g["gnerf"]["fc3"]["linear"]["kernel"], np.float32)).max()
+    solar_g = np.abs(np.asarray(
+        g["gnerf"]["fc_solar_2"]["linear"]["kernel"], np.float32)).max()
+    head_g = np.abs(np.asarray(
+        g["gnerf"]["fc10_col"]["kernel"], np.float32)).max()
+    assert trunk_g > 0.0 and solar_g > 0.0 and head_g > 0.0

@@ -10,72 +10,9 @@ import pytest
 
 from season_nerf_tpu.config import Config
 from season_nerf_tpu import cli
-from season_nerf_tpu.geometry.rpc import RPCModel, fit_rpc_from_projector
 
 
-IMD = """meanSunAz = {az};
-meanSunEl = {el};
-meanOffNadirViewAngle = {off};
-meanSatAz = {vaz};
-firstLineTime = 2015-{mm:02d}-15T15:30:00.000000Z;
-"""
-
-
-def _toy_rpc(dlat, dlon, drow_per_m=0.0):
-    lat0, lon0 = 39.0, -83.95   # away from the UTM zone edge
-
-    def project(lat, lon, alt):
-        row = (lat - lat0 - dlat) * 111_000 / 0.5 + 512 + alt * drow_per_m
-        col = (lon - lon0 - dlon) * 85_000 / 0.5 + 512 + alt * 0.05
-        return row, col
-
-    return fit_rpc_from_projector(
-        project, (lat0 - 0.004, lat0 + 0.004), (lon0 - 0.004, lon0 + 0.004),
-        (200.0, 260.0))
-
-
-def _rpc_text(rpc):
-    lines = [f"LINE_OFF: {rpc.row_offset}", f"SAMP_OFF: {rpc.col_offset}",
-             f"LAT_OFF: {rpc.lat_offset}", f"LONG_OFF: {rpc.lon_offset}",
-             f"HEIGHT_OFF: {rpc.alt_offset}", f"LINE_SCALE: {rpc.row_scale}",
-             f"SAMP_SCALE: {rpc.col_scale}", f"LAT_SCALE: {rpc.lat_scale}",
-             f"LONG_SCALE: {rpc.lon_scale}", f"HEIGHT_SCALE: {rpc.alt_scale}"]
-    for prefix, vec in [("LINE_NUM_COEFF", rpc.row_num),
-                        ("LINE_DEN_COEFF", rpc.row_den),
-                        ("SAMP_NUM_COEFF", rpc.col_num),
-                        ("SAMP_DEN_COEFF", rpc.col_den)]:
-        lines += [f"{prefix}_{i+1}: {v:.17e}" for i, v in enumerate(vec)]
-    return "\n".join(lines)
-
-
-@pytest.fixture(scope="module")
-def dfc_site(tmp_path_factory):
-    from PIL import Image
-    io_root = tmp_path_factory.mktemp("io")
-    site = "OMA_777"
-    imgs = io_root / "IEEE_Data" / "Images"
-    truth = io_root / "IEEE_Data" / "Track3-Truth"
-    cache = io_root / "Cache" / site
-    rpcs = io_root / "Cache" / site / "RPCs"
-    for d in (imgs, truth, cache, rpcs):
-        d.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(3)
-    offs = [(0, 0), (1.5e-5, -1e-5), (-1e-5, 1.5e-5), (2e-5, 2e-5)]
-    for i, (dlat, dlon) in enumerate(offs):
-        name = f"{site}_{i:03d}_RGB"
-        arr = (rng.random((1024, 1024, 3)) * 255).astype(np.uint8)
-        Image.fromarray(arr).save(imgs / f"{name}.tif")
-        (cache / f"rpc_{name}_original.ikono").write_text(
-            _rpc_text(_toy_rpc(dlat, dlon)))
-        (rpcs / f"{name}.IMD").write_text(IMD.format(
-            az=150 + 10 * i, el=55 + 5 * i, off=8 + 3 * i, vaz=90 * i,
-            mm=2 + 3 * i))
-    dsm = (rng.random((64, 64)) * 20 + 210).astype(np.float32)
-    Image.fromarray(dsm, mode="F").save(truth / f"{site}_DSM.tif")
-    from season_nerf_tpu.geometry.units import wgs84_to_utm
-    e, n, _, _ = wgs84_to_utm(39.0, -83.95)
-    np.savetxt(truth / f"{site}_DSM.txt", [e - 320, n - 320, 64, 10.0])
-    return str(io_root), site
+# dfc_site fixture + RPC/IMD fabrication helpers live in conftest.py
 
 
 def test_run_test_real_branch(dfc_site):

@@ -373,3 +373,97 @@ def test_weighted_ray_sampling(tmp_path):
     tr.rng, k = jax.random.split(tr.rng)
     tr.state, sc = tr._step_fn(tr.state, k)   # runs the weighted gather
     assert np.isfinite(float(jax.device_get(sc)["Total"]))
+
+
+def test_phase4_keepalive_barron(tiny_setup):
+    """phase4_keepalive_barron: the keepalive term becomes the Barron
+    adaptive alpha NLL (Alpha_Adjust_ada) with the same linearly-decaying
+    weight, fresh alpha latents exist in phase 4, and the MSE diagnostic is
+    logged detached (weight 1, stop-gradient, matching the prior-phase
+    convention)."""
+    from season_nerf_tpu.train.losses import season_nerf_loss
+
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg("", n_saves=0, phase4_prior_keepalive=0.25,
+                    phase4_keepalive_barron=True, max_train_steps=20)
+    tr = Trainer(cfg, train_tab, val_tab, prior_hm=scene.prior_hm)
+    tr.run(scan_chunk=1)
+    s = tr._phase_statics
+    assert tr._phase.index == 4 and not s.use_prior
+    assert s.alpha_cfg is not None           # fresh latents in phase 4
+    assert "alpha" in tr.state.ada_params
+
+    batch = {"top": jnp.asarray(train_tab.rows[:8, 2:5]),
+             "bot": jnp.asarray(train_tab.rows[:8, 5:8]),
+             "sun": jnp.asarray(train_tab.rows[:8, 8:11]),
+             "t4": jnp.asarray(train_tab.rows[:8, 11:15]),
+             "gt_rgb": jnp.asarray(train_tab.rows[:8, 19:22])}
+    variables = {"params": tr.state.params,
+                 "batch_stats": tr.state.batch_stats}
+
+    def losses_at(step):
+        _, (losses, _) = season_nerf_loss(
+            tr.model, variables, tr.state.ada_params, s, batch,
+            jax.random.PRNGKey(0), step=jnp.asarray(step), train=True,
+            prior_hm=tr.prior_hm, mutable=True)
+        return losses
+
+    ls = losses_at(s.phase_start)
+    assert "Alpha_Adjust_ada" in ls
+    assert np.isclose(float(ls["Alpha_Adjust_ada"][1]), 0.25)
+    assert np.isfinite(float(ls["Alpha_Adjust_ada"][0]))
+    # decays to exactly 0 at the final step
+    assert float(losses_at(s.phase_len)["Alpha_Adjust_ada"][1]) == 0.0
+    # MSE diagnostic is detached (gradient-free): weight 1, same key shape
+    # as the prior phase's logging convention
+    assert float(ls["Alpha_Adjust"][1]) == 1.0
+
+    # the adaptive term actually trains the alpha latents: grads nonzero
+    def ada_loss(ada):
+        total, _ = season_nerf_loss(
+            tr.model, variables, ada, s, batch, jax.random.PRNGKey(0),
+            step=jnp.asarray(s.phase_start), train=True,
+            prior_hm=tr.prior_hm, mutable=True)
+        return total
+
+    g = jax.grad(ada_loss)(tr.state.ada_params)
+    assert any(np.abs(np.asarray(leaf)).max() > 0.0
+               for leaf in jax.tree_util.tree_leaves(g["alpha"]))
+
+
+def test_best_geometry_on_decay_selector(tiny_setup, tmp_path):
+    """best_geometry_on_decay: healthy run (drift below threshold) keeps
+    the reference protocol's last-step weights; a decayed run falls back to
+    the best-geometry save point — both recorded in the artifact meta."""
+    scene, train_tab, val_tab, logs = tiny_setup
+    cfg = _tiny_cfg(str(tmp_path),
+                    final_model_selection="best_geometry_on_decay",
+                    geometry_decay_threshold=0.10)
+    tr = Trainer(cfg, train_tab, val_tab, prior_hm=scene.prior_hm,
+                 gt_dsm=scene.hm)
+    tr.run()
+    assert len(tr._save_geometry) == len(tr.save_steps)
+    first_save = min(tr.save_steps)
+
+    # healthy: last == best (drift 0) -> last-step weights
+    tr._save_geometry = [(s, 1.0) for s, _ in tr._save_geometry]
+    tr.finalize()
+    _, meta = state_lib.restore_variables(
+        tr.variables_template, os.path.join(str(tmp_path), "Final_Model.nn"))
+    assert meta["selection"] == "best_geometry_on_decay"
+    assert meta["selected_step"] == tr.step
+    assert meta["geometry_drift"] == 0.0
+
+    # decayed: last 50% above the best -> fall back to the best save point
+    tr._save_geometry = [(s, 1.0 if s == first_save else 1.5)
+                         for s, _ in tr._save_geometry]
+    tr.finalize()
+    variables, meta = state_lib.restore_variables(
+        tr.variables_template, os.path.join(str(tmp_path), "Final_Model.nn"))
+    assert meta["selected_step"] == first_save
+    assert meta["geometry_drift"] > 0.4
+    ckpt, _ = state_lib.load_checkpoint(
+        os.path.join(str(tmp_path), f"Model_{first_save}.nn"), tr.state)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(ckpt.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

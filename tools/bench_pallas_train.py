@@ -80,11 +80,11 @@ def main():
             mutable=["batch_stats"])
         return x_enc, rho_raw, col_raw, upd
 
-    def xla_loss(p, st, eps=0.0):
+    def xla_loss(p, st, cx, ch, eps=0.0):
         x_enc, rho_raw, col_raw, upd = xla_fwd(p, st, eps)
-        s = (jnp.sum(x_enc.astype(jnp.float32) * cot_x)
-             + jnp.sum(rho_raw * cot_heads[:, :1])
-             + jnp.sum(col_raw * cot_heads[:, 1:4]))
+        s = (jnp.sum(x_enc.astype(jnp.float32) * cx)
+             + jnp.sum(rho_raw * ch[:, :1])
+             + jnp.sum(col_raw * ch[:, 1:4]))
         return s, upd
 
     def chained(fn):
@@ -104,7 +104,8 @@ def main():
         return jax.jit(run)
 
     xla_grad_1 = jax.value_and_grad(xla_loss, has_aux=True, argnums=0)
-    xla_grad = chained(lambda eps, p, st: xla_grad_1(p, st, eps))
+    xla_grad = chained(lambda eps, p, st, cx, ch: xla_grad_1(p, st, cx, ch,
+                                                            eps))
     xla_f = chained(lambda eps, p, st: xla_fwd(p, st, eps))
 
     # ---- B: pallas megakernel -------------------------------------------
@@ -120,14 +121,14 @@ def main():
                         jnp.bfloat16)
         return jnp.concatenate([pe, pad], axis=-1)
 
-    def pl_loss(ps, eps=0.0):
+    def pl_loss(ps, cx, chp, eps=0.0):
         pe = encode(pts + eps)         # PE inside the timed segment, like A
         xenc, heads, _st = pt.trunk_train(spec, False, pe, *ps)
-        return (jnp.sum(xenc.astype(jnp.float32) * cot_x)
-                + jnp.sum(heads * cot_heads_pad))
+        return (jnp.sum(xenc.astype(jnp.float32) * cx)
+                + jnp.sum(heads * chp))
 
     pl_grad_1 = jax.value_and_grad(pl_loss, argnums=0)
-    pl_grad = chained(lambda eps, ps: pl_grad_1(ps, eps))
+    pl_grad = chained(lambda eps, ps, cx, chp: pl_grad_1(ps, cx, chp, eps))
     pl_f = chained(
         lambda eps, ps: pt.trunk_fwd(spec, (encode(pts + eps),) + tuple(ps),
                                      False))
@@ -155,10 +156,12 @@ def main():
                "backend": jax.default_backend()}
     results["chain"] = args.chain
     results["xla_fwd_ms"] = timeit("XLA fwd", xla_f, params, stats)
-    results["xla_fwdbwd_ms"] = timeit("XLA fwd+bwd", xla_grad, params, stats)
+    results["xla_fwdbwd_ms"] = timeit("XLA fwd+bwd", xla_grad, params,
+                                      stats, cot_x, cot_heads)
     results["pallas_fwd_ms"] = timeit("pallas fwd", pl_f, tuple(packed))
     results["pallas_fwdbwd_ms"] = timeit("pallas fwd+bwd", pl_grad,
-                                         tuple(packed))
+                                         tuple(packed), cot_x,
+                                         cot_heads_pad)
     if results["xla_fwdbwd_ms"] and results["pallas_fwdbwd_ms"]:
         r = results["xla_fwdbwd_ms"] / results["pallas_fwdbwd_ms"]
         print(f"[bench] fwd+bwd speedup: {r:.2f}x")

@@ -174,27 +174,61 @@ class RefPImgShim:
 
 def load_site(model_dir):
     """Model dir -> (LoadedModel, test cams with GT images attached,
-    gt_hm [-1,1], h_range)."""
+    gt_hm [-1,1], h_range).
+
+    SYNTH_* sites are rebuilt deterministically from opts.json; real
+    (DFC-format) sites are re-preprocessed through the same cached-ingest
+    path the training CLI used (cli._prepare_real semantics: the cache under
+    opts.json's recorded dirs makes this cheap and split-stable)."""
     from season_nerf_tpu.render.loading import load_model_dir
-    from season_nerf_tpu.data.synthetic import make_scene
 
     loaded = load_model_dir(model_dir)
     cfg = loaded.cfg
-    if not cfg.site_name.upper().startswith("SYNTH"):
-        raise SystemExit("cross_eval_reference currently rebuilds the "
-                         "synthetic scene from opts.json; real sites need "
-                         "the cached P_imgs instead")
-    scene = make_scene(n_views=cfg.synth_views, img_size=cfg.synth_img_size,
-                       grid=cfg.synth_grid, seed=cfg.seed)
     with open(os.path.join(model_dir, "Testing_Imgs.txt")) as f:
         test_names = [ln.strip() for ln in f if ln.strip()]
-    by_name = {c.name: i for i, c in enumerate(scene.cameras)}
-    test_cams = []
-    for name in test_names:
-        cam = scene.cameras[by_name[name]]
-        cam.image = scene.images[by_name[name]]
-        test_cams.append(cam)
-    return loaded, test_cams, np.asarray(scene.hm, np.float64), (0.0, 30.0)
+
+    if cfg.site_name.upper().startswith("SYNTH"):
+        from season_nerf_tpu.data.synthetic import make_scene
+        scene = make_scene(n_views=cfg.synth_views,
+                           img_size=cfg.synth_img_size,
+                           grid=cfg.synth_grid, seed=cfg.seed)
+        by_name = {c.name: i for i, c in enumerate(scene.cameras)}
+        test_cams = []
+        for name in test_names:
+            cam = scene.cameras[by_name[name]]
+            cam.image = scene.images[by_name[name]]
+            test_cams.append(cam)
+        return (loaded, test_cams, np.asarray(scene.hm, np.float64),
+                (0.0, 30.0))
+
+    # real branch: rebuild the site exactly as training did (preprocess_site
+    # caches under cfg.cache_dir; the split comes from the model dir's
+    # Testing_Imgs.txt, so the scored cameras are the trained holdout)
+    from season_nerf_tpu.data.ingest import preprocess_site
+    from season_nerf_tpu.data.lidar import get_gt_dsm
+    from season_nerf_tpu.priors.space_carving import model_grid_from_bounds
+
+    gt_dir = os.path.join(cfg.root_dir, "Track3-Truth")
+    if not os.path.isdir(gt_dir):
+        raise SystemExit(
+            f"{gt_dir} not found: the reference HM table needs the lidar "
+            "GT DSM (a GT-less site has nothing to cross-validate against)")
+    site = preprocess_site(
+        cfg.root_dir, cfg.site_name, cfg.rpc_dir, cfg.cache_dir,
+        gt_dir=gt_dir,
+        height_range=(tuple(cfg.height_range) if cfg.height_range else None),
+        skip_bundle_adjust=cfg.skip_Bundle_Adjust,
+        camera_model=cfg.camera_model)
+    by_name = {c.name: i for i, c in enumerate(site.cameras)}
+    missing = [n for n in test_names if n not in by_name]
+    if missing:
+        raise SystemExit(f"Testing_Imgs.txt names not in the site: {missing}")
+    test_cams = [site.cameras[by_name[n]] for n in test_names]
+    grid = model_grid_from_bounds(site.bounds_lla)
+    gt_hm = get_gt_dsm(gt_dir, cfg.site_name, grid[:2], site.bounds_lla)
+    h0, h1 = site.bounds_lla[2]
+    return (loaded, test_cams, np.asarray(gt_hm, np.float64),
+            (float(h0), float(h1)))
 
 
 REF_IMG_ROWS = ["Base Image", "Season without shadow Image", "Full Image",

@@ -123,3 +123,47 @@ def test_make_movie_cli_pose_keyframes(tiny_model_dir, tmp_path):
                     "--pose_keyframe=0.5,0.0,0.9,-60,180,35,40,180,1.0")
     assert res.returncode == 0, res.stderr
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree absent")
+def test_cross_eval_reference_real_branch(dfc_site):
+    """tools/cross_eval_reference.py on a REAL (DFC-format) model dir: the
+    round-4 tool SystemExit'ed on non-SYNTH sites; the real branch now
+    re-preprocesses the cached site and scores the trained holdout with the
+    reference's own eval code.  Asserts the scorer-identity bound holds on
+    the real-camera path too."""
+    import json
+    from season_nerf_tpu.config import Config
+    from season_nerf_tpu import cli
+
+    io_root, site = dfc_site
+    logs = os.path.join(io_root, "Logs", f"{site}_xeval")
+    if not os.path.exists(os.path.join(logs, "Final_Model.nn")):
+        cfg = Config(site_name=site, exp_name=f"{site}_xeval",
+                     IO_Location=io_root, max_train_steps=6, n_samples=8,
+                     batch_size=64, fc_units=32, chunk=2048, n_saves=0,
+                     testing_size=1, jump_start=False,
+                     img_training_downscale=16, skip_Bundle_Adjust=True)
+        cfg.resolve_dirs()
+        cfg.save_json()
+        cli.run_test(cfg, eval_img_size=(10, 10), eval_season_size=(8, 8))
+    out = os.path.join(logs, "cross_eval.json")
+    res = _run_tool("cross_eval_reference.py", logs, "-o", out,
+                    "--img_size", "16", "--img_samples", "16",
+                    "--hm_samples", "24", "--hm_grid", "24")
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(out) as f:
+        rep = json.load(f)
+    assert rep["images"], "no test cameras scored"
+    for name, tbl in rep["images"].items():
+        ref_tbl = np.asarray(tbl["reference"])
+        our_tbl = np.asarray(tbl["ours"])
+        assert np.isfinite(ref_tbl).all() and np.isfinite(our_tbl).all()
+        # scorer identity on the real-camera path: PSNR within 0.5 dB,
+        # SSIM within 0.02 on every protocol row
+        assert np.max(np.abs(ref_tbl[:, 1] - our_tbl[:, 1])) < 0.5, name
+        assert np.max(np.abs(ref_tbl[:, 2] - our_tbl[:, 2])) < 0.02, name
+    hm = rep["hm"]["MAE"]
+    assert np.isfinite(hm["reference_before"])
+    # before-alignment rows are the documented comparable ones
+    assert abs(hm["reference_before"] - hm["ours_before"]) < 0.3

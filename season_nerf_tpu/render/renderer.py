@@ -283,6 +283,15 @@ class Renderer:
             self._ray_sharding = batch_sharding(self.mesh)
             self.variables = jax.device_put(
                 variables, replicated_sharding(self.mesh))
+        else:
+            # Pin the weights on-device ONCE.  A loaded model dir hands the
+            # renderer host numpy arrays, and jit does not cache host->device
+            # transfers: every chunk dispatch would re-upload the full
+            # parameter set (~13 MB for the flagship net) — measured 14x
+            # whole-frame slowdown over the tunneled device (2.11 s vs
+            # 0.15 s per 128px frame), the dominant term in the round-4
+            # serving-vs-bench throughput gap (docs/SERVING_r5.md).
+            self.variables = jax.device_put(variables)
         # when the model was trained on HSLuv targets (use_HSLuv flag), its
         # color head lives in normalized-HSLuv space; convert every rendered
         # color back to sRGB so images and metrics compare against RGB ground

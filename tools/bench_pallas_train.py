@@ -89,14 +89,18 @@ def main():
 
     def chained(fn):
         """K data-dependent repetitions inside one jit: each iteration
-        perturbs the input points by the (tiny) running scalar so XLA
-        cannot CSE the copies, and only one scalar crosses the tunnel —
+        perturbs the input points by an iteration-dependent epsilon LARGE
+        ENOUGH TO SURVIVE f32 ROUNDING (1e-6 on unit-scale points;
+        acc*1e-20 rounded to a no-op, which let XLA hoist the whole body
+        out of the loop — the 0.01 ms pallas artifact).  Numerically the
+        perturbation is negligible; only one scalar crosses the tunnel —
         same reason the production engine scans 10 steps per dispatch."""
         K = args.chain
 
         def run(*fargs):
             def body(i, acc):
-                out = fn(acc * 1e-20, *fargs)
+                eps = (i + 1).astype(jnp.float32) * 1e-6 + acc * 1e-20
+                out = fn(eps, *fargs)
                 return acc + jax.tree_util.tree_reduce(
                     lambda s, leaf: s + jnp.sum(
                         jnp.asarray(leaf, jnp.float32)), out, 0.0)
